@@ -67,13 +67,15 @@ def _synthetic_loader(folder: str):
     bands = int(os.environ.get("VCT_SYN_BANDS", 144))
     n_cls = int(os.environ.get("VCT_SYN_CLASSES", 15))
     rng = np.random.RandomState(0)
-    # class map: smooth blobs so classes are spatially coherent + learnable
+    # class map: smooth blobs so classes are spatially coherent + learnable.
+    # n_cls counts label 0 ("Unclassified"), so real classes are 1..n_cls-1.
     yy, xx = np.mgrid[0:h, 0:w]
-    gt = (1 + ((xx * n_cls) // w + (yy * 3) // h) % n_cls).astype(np.int64)
+    n_real = max(n_cls - 1, 1)
+    gt = (1 + ((xx * n_real) // w + (yy * 3) // h) % n_real).astype(np.int64)
     # sprinkle unlabeled pixels
     gt[rng.rand(h, w) < 0.1] = 0
     # spectra: class-dependent mean + noise
-    means = rng.rand(n_cls + 1, bands).astype(np.float32)
+    means = rng.rand(n_cls, bands).astype(np.float32)
     img1 = means[gt] + 0.05 * rng.randn(h, w, bands).astype(np.float32)
     img2 = (gt[..., None].astype(np.float32) / n_cls
             + 0.05 * rng.randn(h, w, 1).astype(np.float32))

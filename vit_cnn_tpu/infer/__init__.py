@@ -1,0 +1,3 @@
+from .fullscene import full_scene_probabilities, sliding_window_origins
+
+__all__ = ["full_scene_probabilities", "sliding_window_origins"]

@@ -1,0 +1,8 @@
+from .patches import (AugmentConfig, PatchPipeline, augment_batch,
+                      build_class_index_table, gather_patches,
+                      interior_indices)
+
+__all__ = [
+    "AugmentConfig", "PatchPipeline", "augment_batch",
+    "build_class_index_table", "gather_patches", "interior_indices",
+]

@@ -1,0 +1,234 @@
+"""Jitted training loop with per-epoch validation and best-val tracking.
+
+TPU-native re-design of ref: model_utils.py:854-1045 (train) and
+:1135-1158 (val): the whole hot path — patch gather, augmentation, forward,
+backward, optimizer update — is ONE jitted program per batch; the Python
+level only shuffles indices and tracks the best parameters.
+"""
+
+from __future__ import annotations
+
+import copy
+import dataclasses
+import time
+from functools import partial
+from typing import Callable, Dict, List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..pipeline.patches import PatchPipeline
+from .losses import LOSSES
+from .optim import OptimizerSpec, build_optimizer
+from .state import TrainState
+from . import checkpoint as ckpt
+
+
+@dataclasses.dataclass
+class TrainLog:
+    losses: List[float] = dataclasses.field(default_factory=list)
+    val_accuracies: List[float] = dataclasses.field(default_factory=list)
+    epoch_seconds: List[float] = dataclasses.field(default_factory=list)
+
+
+def _pad_to_multiple(arr: np.ndarray, multiple: int):
+    n = len(arr)
+    rem = (-n) % multiple
+    if rem == 0:
+        return arr, np.ones(n, dtype=np.float32)
+    pad = np.repeat(arr[:1], rem, axis=0)
+    valid = np.concatenate([np.ones(n, dtype=np.float32),
+                            np.zeros(rem, dtype=np.float32)])
+    return np.concatenate([arr, pad], axis=0), valid
+
+
+class Trainer:
+    """Builds the jitted train/eval steps for one (model, pipeline) pair."""
+
+    def __init__(self, module, hyperparams: Dict, pipeline: PatchPipeline,
+                 val_pipeline: Optional[PatchPipeline] = None,
+                 seed: int = 0, checkpoint_root: str = "./checkpoints",
+                 savename: str = ""):
+        self.module = module
+        self.hp = hyperparams
+        self.pipeline = pipeline
+        self.val_pipeline = val_pipeline
+        self.checkpoint_root = checkpoint_root
+        self.savename = savename
+        self.log = TrainLog()
+
+        self.batch_size = int(hyperparams["batch_size"])
+        self.epochs = int(hyperparams["epoch"])
+        self.loss_fn = LOSSES[hyperparams.get("loss", "cross_entropy")]
+        self.class_weights = jnp.asarray(hyperparams["weights"],
+                                         dtype=jnp.float32)
+
+        steps_per_epoch = max(len(pipeline) // self.batch_size, 1)
+        opt_spec = OptimizerSpec(
+            name=hyperparams.get("optimizer", "adam"),
+            lr=float(hyperparams["lr"]),
+            weight_decay=float(hyperparams.get("weight_decay", 0.0)),
+            step_size=hyperparams.get("scheduler_step", 30),
+            gamma=hyperparams.get("scheduler_gamma", 0.9),
+        )
+        self.tx = build_optimizer(opt_spec, steps_per_epoch)
+
+        # --- init params -------------------------------------------------
+        self.root_key = jax.random.PRNGKey(seed)
+        init_key, self.data_key = jax.random.split(self.root_key)
+        p = pipeline.patch_size
+        c1 = pipeline.scene1.shape[-1]
+        c2 = pipeline.scene2.shape[-1]
+        dummy1 = jnp.zeros((2, p, p, c1), jnp.float32)
+        dummy2 = jnp.zeros((2, p, p, c2), jnp.float32)
+        variables = module.init({"params": init_key, "dropout": init_key},
+                                dummy1, dummy2, train=False)
+        self.state = TrainState.create_from_variables(
+            module.apply, variables, self.tx)
+        self.np_rng = np.random.RandomState(seed)
+
+        self._step = self._build_step()
+        self._eval_step = self._build_eval_step()
+        if val_pipeline is not None:
+            self._val_batch = jax.jit(
+                partial(val_pipeline.make_batch, train=False))
+        else:
+            self._val_batch = None
+
+    # ------------------------------------------------------------------
+    def _build_step(self):
+        module = self.module
+        pipeline = self.pipeline
+        loss_fn = self.loss_fn
+        class_weights = self.class_weights
+
+        @jax.jit
+        def step(state: TrainState, centers, valid, rng):
+            data_key, dropout_key = jax.random.split(rng)
+            p1, p2, labels = pipeline.make_batch(data_key, centers, train=True)
+
+            def compute_loss(params):
+                variables = {"params": params}
+                mutable = []
+                if state.batch_stats:
+                    variables["batch_stats"] = state.batch_stats
+                    mutable = ["batch_stats"]
+                out = module.apply(variables, p1, p2, train=True,
+                                   mutable=mutable,
+                                   rngs={"dropout": dropout_key})
+                if mutable:
+                    out, updates = out
+                else:
+                    updates = {}
+                loss = loss_fn(out, labels, class_weights, valid)
+                return loss, updates
+
+            (loss, updates), grads = jax.value_and_grad(
+                compute_loss, has_aux=True)(state.params)
+            state = state.apply_gradients(grads=grads)
+            if updates:
+                state = state.replace(batch_stats=updates["batch_stats"])
+            return state, loss
+
+        return step
+
+    def _build_eval_step(self):
+        module = self.module
+        ignored_mask = self.pipeline.ignored_mask
+
+        @jax.jit
+        def eval_step(variables, p1, p2, labels, valid):
+            out = module.apply(variables, p1, p2, train=False)
+            logits = out[0] if isinstance(out, tuple) else out
+            pred = jnp.argmax(logits, axis=-1)
+            # val() parity: predictions in ignored labels are skipped
+            # (ref: model_utils.py:1152-1157)
+            keep = (~ignored_mask[pred]) & (valid > 0)
+            correct = jnp.sum((pred == labels) & keep)
+            total = jnp.sum(keep)
+            return correct, total
+
+        return eval_step
+
+    # ------------------------------------------------------------------
+    def validate(self, state: Optional[TrainState] = None) -> float:
+        state = state or self.state
+        vp = self.val_pipeline
+        if vp is None or len(vp) == 0:
+            return 0.0
+        variables = state.variables
+        correct, total = 0, 0
+        bs = self.batch_size
+        centers_all, valid_all = _pad_to_multiple(vp.indices, bs)
+        key = jax.random.PRNGKey(0)
+        for i in range(0, len(centers_all), bs):
+            centers = jnp.asarray(centers_all[i:i + bs])
+            valid = jnp.asarray(valid_all[i:i + bs])
+            p1, p2, labels = self._val_batch(key, centers)
+            c, t = self._eval_step(variables, p1, p2, labels, valid)
+            correct += int(c)
+            total += int(t)
+        return correct / max(total, 1)
+
+    # ------------------------------------------------------------------
+    def fit(self, run: int = 0, dataset_name: str = "dataset",
+            log_every: int = 0, on_epoch_end: Optional[Callable] = None):
+        """Train; returns the best-validation variables (deepcopy), mirroring
+        ref: model_utils.py:1015-1045."""
+        best_metric = 0.0
+        best_variables = jax.device_get(self.state.variables)
+        bs = self.batch_size
+
+        for epoch in range(1, self.epochs + 1):
+            t0 = time.time()
+            order = self.pipeline.epoch_order(self.np_rng)
+            centers_all, valid_all = _pad_to_multiple(order, bs)
+            epoch_loss = 0.0
+            n_steps = 0
+            for i in range(0, len(centers_all), bs):
+                self.data_key, sub = jax.random.split(self.data_key)
+                centers = jnp.asarray(centers_all[i:i + bs])
+                valid = jnp.asarray(valid_all[i:i + bs])
+                self.state, loss = self._step(self.state, centers, valid, sub)
+                epoch_loss += float(loss)
+                n_steps += 1
+            avg_loss = epoch_loss / max(n_steps, 1)
+            self.log.losses.append(avg_loss)
+
+            if self.val_pipeline is not None:
+                val_acc = self.validate()
+                self.log.val_accuracies.append(val_acc)
+                metric = val_acc
+            else:
+                metric = -avg_loss
+
+            self.log.epoch_seconds.append(time.time() - t0)
+            if log_every and epoch % log_every == 0:
+                print("epoch {}/{} loss {:.4f} val {:.4f} ({:.2f}s)".format(
+                    epoch, self.epochs, avg_loss,
+                    self.log.val_accuracies[-1] if self.log.val_accuracies
+                    else float("nan"),
+                    self.log.epoch_seconds[-1]))
+
+            # best tracking uses >= so later epochs win ties
+            # (ref: model_utils.py:1015-1017)
+            if abs(metric) >= best_metric:
+                best_metric = abs(metric)
+                best_variables = jax.device_get(self.state.variables)
+                ckpt.save_checkpoint(
+                    best_variables, self.checkpoint_root,
+                    self.module.__class__.__name__.lower(), dataset_name,
+                    "train", "best_epoch", self.savename, run, epoch,
+                    best_metric)
+            if epoch == self.epochs:
+                ckpt.save_checkpoint(
+                    jax.device_get(self.state.variables),
+                    self.checkpoint_root,
+                    self.module.__class__.__name__.lower(), dataset_name,
+                    "train", "final_epoch", self.savename, run, epoch,
+                    abs(metric))
+            if on_epoch_end is not None:
+                on_epoch_end(epoch, avg_loss, metric)
+
+        return best_variables
