@@ -12,7 +12,8 @@ from vit_cnn_tpu.models import MODELS, get_model
 # models implemented so far; grows as the zoo fills in
 IMPLEMENTED = [
     "EndNet", "Early_fusion_CNN", "Middle_fusion_CNN", "Late_fusion_CNN",
-    "Cross_fusion_CNN", "FusAtNet", "S2ENet",
+    "Cross_fusion_CNN", "FusAtNet", "S2ENet", "MFT", "SpectralFormer",
+    "S2EFT", "HCTnet", "MHST", "GLT_Net",
 ]
 
 N_CLASSES = 6

@@ -1,0 +1,292 @@
+"""MHST: multi-head-selected pooling transformer with dual CNN/ViT heads.
+
+Capability parity with ref: model/compare_method/MHST/ (MHST.py, HSPT.py,
+Pooling.py, PyConv2D.py):
+
+* HSI encoder (ref: MHST.py:57-119): strided Conv3d(11,3,3)/(3,1,1) stem,
+  multi-kernel 3D inception (1/3/5/11 along bands), Conv3d(3^3), flatten
+  bands -> PyConv4 pyramid -> 1x1 conv -> maxpool,
+* LiDAR encoder (ref: MHST.py:23-54): two PyConv4 stages + 1x1 + maxpool,
+* learned scalar modality mixing (weight_hsi/weight_lidar, init 0.6/0.4),
+* linear token embedding (patch/2)^2 -> patch^2 positions, CLS + pos embed,
+* vanilla transformer (depth 5) then HeadSelectPoolTransformer (depth 8,
+  ref: HSPT.py:324-443): per-block Gumbel-sigmoid head selection from the
+  CLS token (straight-through, tau=5), DynaLinear width masking of
+  q/k/v outputs + proj/fc1 inputs, and depthwise-conv pooling attention
+  with residual q (ref: HSPT.py:142-290, Pooling.py:4-34),
+* dual heads (ref: MHST.py:122-148, 308-319): softmax ViT head and softmax
+  PyConv CNN head, blended by learned scalars (0.7/0.3) — the model
+  returns blended PROBABILITIES, exactly like the reference.
+"""
+
+from __future__ import annotations
+
+from typing import Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from ..nn.layers import BatchNorm
+from ..nn.pyconv import PyConv
+from ..nn.transformer import ViTBackbone
+
+
+def gumbel_sigmoid(rng, logits, tau=5.0, hard=True, threshold=0.5,
+                   training=True):
+    """Two-sample Gumbel-sigmoid with straight-through hard threshold
+    (ref: HSPT.py:7-30)."""
+    if training:
+        g1 = -jnp.log(-jnp.log(jax.random.uniform(
+            jax.random.fold_in(rng, 0), logits.shape, minval=1e-10,
+            maxval=1.0)) + 1e-10)
+        g2 = -jnp.log(-jnp.log(jax.random.uniform(
+            jax.random.fold_in(rng, 1), logits.shape, minval=1e-10,
+            maxval=1.0)) + 1e-10)
+        y_soft = jax.nn.sigmoid((logits + g1 - g2) / tau)
+    else:
+        y_soft = jax.nn.sigmoid(logits)
+    if hard:
+        y_hard = (y_soft > threshold).astype(logits.dtype)
+        return y_hard - jax.lax.stop_gradient(y_soft) + y_soft
+    return y_soft
+
+
+class _HSIEncoder(nn.Module):
+    out_channels_3d: int = 16
+    out_channels_2d: int = 64
+
+    @nn.compact
+    def __call__(self, hsi, train: bool = False):
+        b, p, _, nc = hsi.shape
+        oc = self.out_channels_3d
+        # NDHWC, bands as depth, stride 3 on bands
+        x = hsi.transpose(0, 3, 1, 2)[..., None]
+        x = nn.Conv(oc, (11, 3, 3), strides=(3, 1, 1),
+                    padding=((5, 5), (1, 1), (1, 1)), name="conv1")(x)
+        x = BatchNorm(use_running_average=not train, name="bn1")(x)
+        x = nn.relu(x)
+
+        # band inception: kernels 1/3/5/11 along bands only
+        branches = []
+        for i, k in enumerate((1, 3, 5, 11)):
+            branches.append(nn.Conv(oc // 4, (k, 1, 1), padding=(k // 2, 0, 0),
+                                    name=f"conv2_{i + 1}")(x))
+        x = jnp.concatenate(branches, axis=-1)
+        x = BatchNorm(use_running_average=not train, name="bn2")(x)
+        x = nn.relu(x)
+
+        x = nn.Conv(oc, (3, 3, 3), padding=1, name="conv3")(x)
+        x = BatchNorm(use_running_average=not train, name="bn3")(x)
+        x = nn.relu(x)
+
+        d = x.shape[1]
+        x = x.transpose(0, 2, 3, 1, 4).reshape(b, p, p, d * oc)
+        x = PyConv(self.out_channels_2d, (3, 5, 7, 9), (4, 4, 4, 4),
+                   (1, 2, 4, 8), name="conv4")(x)
+        x = BatchNorm(use_running_average=not train, name="bn4")(x)
+        x = nn.relu(x)
+        x = nn.Conv(self.out_channels_2d, (1, 1), name="conv5")(x)
+        x = BatchNorm(use_running_average=not train, name="bn5")(x)
+        x = nn.relu(x)
+        return nn.max_pool(x, (2, 2), strides=(2, 2))
+
+
+class _LiDAREncoder(nn.Module):
+    out_channels: int = 64
+
+    @nn.compact
+    def __call__(self, lidar, train: bool = False):
+        x = PyConv(32, (3, 5, 7, 9), (4, 4, 4, 4), (1, 1, 1, 1),
+                   name="conv1")(lidar)
+        x = BatchNorm(use_running_average=not train, name="bn1")(x)
+        x = nn.relu(x)
+        x = PyConv(self.out_channels, (3, 5, 7, 9), (4, 4, 4, 4),
+                   (1, 1, 1, 1), name="conv2")(x)
+        x = BatchNorm(use_running_average=not train, name="bn2")(x)
+        x = nn.relu(x)
+        x = nn.Conv(self.out_channels, (1, 1), name="conv3")(x)
+        x = BatchNorm(use_running_average=not train, name="bn3")(x)
+        x = nn.relu(x)
+        return nn.max_pool(x, (2, 2), strides=(2, 2))
+
+
+class _PoolAttention(nn.Module):
+    """MViT-style pooled attention with per-batch head-width masking
+    (ref: HSPT.py:142-290)."""
+
+    dim: int
+    num_heads: int
+    hw_shape: Tuple[int, int]
+    qkv_bias: bool = False
+    attn_drop: float = 0.0
+    proj_drop: float = 0.0
+
+    @nn.compact
+    def __call__(self, x, width_select=None, train: bool = False):
+        b, n, c = x.shape
+        h = self.num_heads
+        hd = c // h
+
+        def masked_out(name, inp, mask):
+            y = nn.Dense(self.dim, use_bias=self.qkv_bias, name=name)(inp)
+            if mask is not None:
+                y = y * mask  # (B, 1, dim): zero whole heads incl. bias
+            return y
+
+        m = None if width_select is None else width_select  # (B, 1, dim)
+        q = masked_out("query", x, m).reshape(b, n, h, hd).transpose(0, 2, 1, 3)
+        k = masked_out("key", x, m).reshape(b, n, h, hd).transpose(0, 2, 1, 3)
+        v = masked_out("value", x, m).reshape(b, n, h, hd).transpose(0, 2, 1, 3)
+
+        def pool(t, name):
+            # depthwise 3x3 conv per head over the spatial token grid
+            cls_tok, rest = t[:, :, :1], t[:, :, 1:]
+            hh, ww = self.hw_shape
+            r = rest.reshape(b * h, hh, ww, hd)
+            r = nn.Conv(hd, (3, 3), padding=1, feature_group_count=hd,
+                        use_bias=False, name=name)(r)
+            r = r.reshape(b, h, hh * ww, hd)
+            t = jnp.concatenate([cls_tok, r], axis=2)
+            return nn.LayerNorm(name=name + "_norm")(t)
+
+        q = pool(q, "pool_q")
+        k = pool(k, "pool_k")
+        v = pool(v, "pool_v")
+
+        attn = jnp.einsum("bhid,bhjd->bhij", q, k) * (hd ** -0.5)
+        attn = nn.softmax(attn, axis=-1)
+        attn = nn.Dropout(self.attn_drop, deterministic=not train)(attn)
+        out = jnp.einsum("bhij,bhjd->bhid", attn, v)
+        # residual pooling: add q to non-cls tokens (ref: HSPT.py:275-280)
+        out = out.at[:, :, 1:, :].add(q[:, :, 1:, :])
+        out = out.transpose(0, 2, 1, 3).reshape(b, n, c)
+
+        if width_select is not None:
+            out = out * width_select  # proj input mask (B, 1, dim)
+        out = nn.Dense(self.dim, name="proj")(out)
+        return nn.Dropout(self.proj_drop, deterministic=not train)(out)
+
+
+class _StepPoolBlock(nn.Module):
+    dim: int
+    num_heads: int
+    hw_shape: Tuple[int, int]
+    use_head_select: bool = True
+    head_tau: float = 5.0
+    qkv_bias: bool = False
+    mlp_ratio: float = 4.0
+    drop: float = 0.0
+    attn_drop: float = 0.0
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        width_select = None
+        head_select = None
+        if self.use_head_select:
+            logits = nn.Dense(self.num_heads, name="head_select")(x[:, 0])
+            rng = self.make_rng("dropout") if train else jax.random.PRNGKey(0)
+            head_select = gumbel_sigmoid(rng, logits, self.head_tau,
+                                         training=train)      # (B, H)
+            hd = self.dim // self.num_heads
+            width_select = jnp.repeat(head_select, hd, axis=-1)[:, None, :]
+
+        y = _PoolAttention(self.dim, self.num_heads, self.hw_shape,
+                           self.qkv_bias, self.attn_drop, self.drop,
+                           name="attn")(
+            nn.LayerNorm(name="norm1")(x), width_select, train)
+        x = x + y
+
+        z = nn.LayerNorm(name="norm2")(x)
+        if width_select is not None:
+            z = z * width_select  # fc1 input mask
+        z = nn.Dense(int(self.dim * self.mlp_ratio), name="fc1")(z)
+        z = nn.gelu(z)
+        z = nn.Dropout(self.drop, deterministic=not train)(z)
+        z = nn.Dense(self.dim, name="fc2")(z)
+        z = nn.Dropout(self.drop, deterministic=not train)(z)
+        return x + z
+
+
+class MHST(nn.Module):
+    n_bands1: int
+    n_bands2: int
+    patch_size: int
+    num_patches: int
+    n_classes: int
+    encoder_embed_dim: int = 64
+    en_depth: int = 5
+    en_heads: int = 4
+    dim_head: int = 16
+    mlp_dim: int = 8
+    dropout: float = 0.1
+    emb_dropout: float = 0.1
+    coefficient_hsi: float = 0.6
+    coefficient_vit: float = 0.7
+    hsp_vit_depth: int = 8
+    hsp_vit_num_heads: int = 16
+    head_tau: float = 5.0
+    use_head_select: bool = True
+    vit_qkv_bias: bool = False
+    mlp_ratio: float = 4.0
+    attnproj_mlp_drop: float = 0.1
+    attn_drop: float = 0.1
+
+    @nn.compact
+    def __call__(self, hsi, lidar, train: bool = False):
+        b, p, _, _ = hsi.shape
+        dim = self.encoder_embed_dim
+
+        x_hsi = _HSIEncoder(name="hsi_encoder")(hsi, train)
+        x_lidar = _LiDAREncoder(name="lidar_encoder")(lidar, train)
+
+        w_h = self.param("weight_hsi", lambda k: jnp.array(
+            [self.coefficient_hsi], jnp.float32))
+        w_l = self.param("weight_lidar", lambda k: jnp.array(
+            [1 - self.coefficient_hsi], jnp.float32))
+        x = w_h * x_hsi + w_l * x_lidar                  # (B, p/2, p/2, 64)
+
+        # tokens: per-channel spatial vectors embedded to patch^2 positions
+        half = p // 2
+        x = x.reshape(b, half * half, dim).transpose(0, 2, 1)  # (B, 64, hh)
+        x_cnn = nn.Dense(p * p, name="encoder_embedding")(x)   # (B, 64, p^2)
+        tokens = x_cnn.transpose(0, 2, 1)                      # (B, p^2, 64)
+
+        pos = self.param("encoder_pos_embed", nn.initializers.normal(1.0),
+                         (1, p * p + 1, dim))
+        cls = self.param("cls_token", nn.initializers.normal(1.0),
+                         (1, 1, dim))
+        t = tokens + pos[:, 1:]
+        t = jnp.concatenate(
+            [jnp.broadcast_to(cls, (b, 1, dim)) + pos[:, :1], t], axis=1)
+        t = nn.Dropout(self.emb_dropout, deterministic=not train)(t)
+
+        t = ViTBackbone(dim, self.en_depth, self.en_heads, self.dim_head,
+                        self.mlp_dim, self.dropout,
+                        name="en_transformer")(t, train)
+
+        for i in range(self.hsp_vit_depth):
+            t = _StepPoolBlock(dim, self.hsp_vit_num_heads, (p, p),
+                               self.use_head_select, self.head_tau,
+                               self.vit_qkv_bias, self.mlp_ratio,
+                               self.attnproj_mlp_drop, self.attn_drop,
+                               name=f"hsp_block{i}")(t, train)
+        t = nn.LayerNorm(name="hsp_norm")(t)
+
+        # ViT head: softmax over classes (ref: MHST.py:311-312)
+        cls_out = nn.LayerNorm(name="head_norm")(t[:, 0])
+        vit_probs = nn.softmax(nn.Dense(self.n_classes, name="head")(cls_out))
+
+        # CNN head: PyConv2 classifier on the token image (ref: MHST.py:122-148)
+        img = x_cnn.reshape(b, dim, p, p).transpose(0, 2, 3, 1)
+        y = PyConv(32, (3, 5), (2, 2), (2, 2), name="cls_conv1")(img)
+        y = BatchNorm(use_running_average=not train, name="cls_bn1")(y)
+        y = nn.relu(y)
+        y = jnp.mean(y, axis=(1, 2))
+        cnn_probs = nn.softmax(nn.Dense(self.n_classes, name="cls_conv2")(y))
+
+        w_vit = self.param("vit_cls_coefficient", lambda k: jnp.array(
+            [self.coefficient_vit], jnp.float32))
+        w_cnn = self.param("cnn_cls_coefficient", lambda k: jnp.array(
+            [1 - self.coefficient_vit], jnp.float32))
+        return vit_probs * w_vit + cnn_probs * w_cnn

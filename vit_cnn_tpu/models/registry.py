@@ -167,8 +167,8 @@ MODELS: Dict[str, ModelSpec] = {
                        epochs=600),                                 # :400-423
     "MHST": ModelSpec("MHST", _build_mhst, patch_size=8, lr=8e-4,
                       optimizer="adamw", epochs=1000),              # :314-335
-    "GLT_Net": ModelSpec("GLT_Net", _build_glt, patch_size=8, lr=5e-4,
-                         optimizer="adamw", epochs=200),            # :336-350
+    "GLT_Net": ModelSpec("GLT_Net", _build_glt, loss="glt", patch_size=8,
+                         lr=5e-4, optimizer="adamw", epochs=200),   # :336-350
     "Multimodality_Mamba": ModelSpec("Multimodality_Mamba", _build_mm_mamba,
                                      patch_size=9, lr=8e-4,
                                      optimizer="adamw",

@@ -1,0 +1,99 @@
+"""Shared ViT backbone: pre-norm residual attention/FF stack with optional
+CAF cross-layer skip connections.
+
+Mirrors the transformer used by both SpectralFormer and S2EFT
+(ref: model/compare_method/spectralformer.py:7-109 and S2EFT.py:6-108):
+multi-head attention with separate dim_head (inner_dim = heads * dim_head),
+GELU feed-forward, and in 'CAF' mode a learned (1, 2) conv merging layer
+l with layer l-2 across the token axis before each block from depth 2 on.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+
+class ViTAttention(nn.Module):
+    dim: int
+    heads: int
+    dim_head: int
+    dropout: float = 0.0
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        b, n, _ = x.shape
+        inner = self.heads * self.dim_head
+        qkv = nn.Dense(inner * 3, use_bias=False, name="to_qkv")(x)
+        q, k, v = jnp.split(qkv, 3, axis=-1)
+
+        def heads(t):
+            return t.reshape(b, n, self.heads, self.dim_head).transpose(
+                0, 2, 1, 3)
+
+        q, k, v = heads(q), heads(k), heads(v)
+        dots = jnp.einsum("bhid,bhjd->bhij", q, k) * (self.dim_head ** -0.5)
+        attn = nn.softmax(dots, axis=-1)
+        out = jnp.einsum("bhij,bhjd->bhid", attn, v)
+        out = out.transpose(0, 2, 1, 3).reshape(b, n, inner)
+        out = nn.Dense(self.dim, name="to_out")(out)
+        return nn.Dropout(self.dropout, deterministic=not train)(out)
+
+
+class FeedForward(nn.Module):
+    dim: int
+    hidden_dim: int
+    dropout: float = 0.0
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        x = nn.Dense(self.hidden_dim)(x)
+        x = nn.gelu(x)
+        x = nn.Dropout(self.dropout, deterministic=not train)(x)
+        x = nn.Dense(self.dim)(x)
+        return nn.Dropout(self.dropout, deterministic=not train)(x)
+
+
+class ViTBackbone(nn.Module):
+    """depth x (prenorm attn + prenorm FF), 'ViT' or 'CAF' wiring."""
+
+    dim: int
+    depth: int
+    heads: int
+    dim_head: int
+    mlp_dim: int
+    dropout: float = 0.0
+    mode: str = "ViT"
+    num_tokens: Optional[int] = None  # required for CAF skipcat convs
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        outputs = []
+        for l in range(self.depth):
+            if self.mode == "CAF":
+                outputs.append(x)
+                if l > 1:
+                    # merge layer l with layer l-2: (B, T, D, 2) -> (1,2)
+                    # conv over the token axis (ref: spectralformer.py:98-107)
+                    pair = jnp.stack([x, outputs[l - 2]], axis=-1)
+                    b, t, d, _ = pair.shape
+                    # torch Conv2d(T, T, (1, 2)): full mixing over tokens and
+                    # the 2 source layers, shared across feature dim
+                    w = self.param(f"skipcat{l - 2}",
+                                   nn.initializers.lecun_normal(),
+                                   (t, t * 2))
+                    bias = self.param(f"skipcat{l - 2}_bias",
+                                      nn.initializers.zeros, (t,))
+                    flat = pair.transpose(0, 2, 1, 3).reshape(b, d, t * 2)
+                    x = jnp.einsum("bdi,ti->bdt", flat, w) + bias
+                    x = x.transpose(0, 2, 1)
+            x = x + ViTAttention(self.dim, self.heads, self.dim_head,
+                                 self.dropout,
+                                 name=f"attn{l}")(
+                nn.LayerNorm(name=f"attn_norm{l}")(x), train)
+            x = x + FeedForward(self.dim, self.mlp_dim, self.dropout,
+                                name=f"ff{l}")(
+                nn.LayerNorm(name=f"ff_norm{l}")(x), train)
+        return x

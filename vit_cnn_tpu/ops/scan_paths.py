@@ -1,0 +1,143 @@
+"""Multi-directional scan orderings for vision-Mamba token sequences.
+
+The reference hardcodes index tables for every ordering
+(ref: model/Multimodality_Mamba/Mutimodality_Mamba7.py:455-466 eight
+directions, :516-548 spirals, :609-640 the '81_2+8' set, :787-806 the
+'49_2+8' set, :869-901 small spirals). Here each ordering is GENERATED
+from the grid geometry; the generators were verified element-for-element
+against all of the reference's 81- and 49-token tables.
+
+Orderings (square grid of side n, row-major token ids):
+
+* ``row_major`` / reversed — horizontal forward/reverse,
+* ``col_boustrophedon`` — down column 0, up column 1, ... (the '_2+8'
+  "vertical" path),
+* ``col_major`` — plain transpose (the 'eight_directions' vertical path),
+* ``zigzag`` — anti-diagonals alternating direction (JPEG-style),
+* ``zigzag_mirror`` — the same from the top-right corner,
+* ``diag`` / ``diag_mirror`` — plain top-down anti-diagonals
+  (the 'eight_directions' diagonal paths),
+* ``spiral_cw`` / ``spiral_ccw`` — clockwise / anticlockwise from
+  top-left.
+"""
+
+from __future__ import annotations
+
+from functools import lru_cache
+from typing import List
+
+import numpy as np
+
+
+def row_major(n: int) -> np.ndarray:
+    return np.arange(n * n)
+
+
+def col_major(n: int) -> np.ndarray:
+    return np.array([r * n + c for c in range(n) for r in range(n)])
+
+
+def col_boustrophedon(n: int) -> np.ndarray:
+    idx = []
+    for c in range(n):
+        rows = range(n) if c % 2 == 0 else range(n - 1, -1, -1)
+        idx += [r * n + c for r in rows]
+    return np.array(idx)
+
+
+def diag(n: int) -> np.ndarray:
+    idx = []
+    for d in range(2 * n - 1):
+        cells = [(r, d - r) for r in range(n) if 0 <= d - r < n]
+        idx += [r * n + c for r, c in sorted(cells)]
+    return np.array(idx)
+
+
+def zigzag(n: int) -> np.ndarray:
+    idx = []
+    for d in range(2 * n - 1):
+        cells = [(r, d - r) for r in range(n) if 0 <= d - r < n]
+        cells = sorted(cells, key=lambda rc: rc[0], reverse=(d % 2 == 0))
+        idx += [r * n + c for r, c in cells]
+    return np.array(idx)
+
+
+def _mirror_cols(order: np.ndarray, n: int) -> np.ndarray:
+    r, c = order // n, order % n
+    return r * n + (n - 1 - c)
+
+
+def zigzag_mirror(n: int) -> np.ndarray:
+    return _mirror_cols(zigzag(n), n)
+
+
+def diag_mirror(n: int) -> np.ndarray:
+    return _mirror_cols(diag(n), n)
+
+
+def spiral_cw(n: int) -> np.ndarray:
+    idx = []
+    top, bot, left, right = 0, n - 1, 0, n - 1
+    while top <= bot and left <= right:
+        idx += [top * n + c for c in range(left, right + 1)]
+        idx += [r * n + right for r in range(top + 1, bot + 1)]
+        if top < bot:
+            idx += [bot * n + c for c in range(right - 1, left - 1, -1)]
+        if left < right:
+            idx += [r * n + left for r in range(bot - 1, top, -1)]
+        top += 1; bot -= 1; left += 1; right -= 1
+    return np.array(idx)
+
+
+def spiral_ccw(n: int) -> np.ndarray:
+    idx = []
+    top, bot, left, right = 0, n - 1, 0, n - 1
+    while top <= bot and left <= right:
+        idx += [r * n + left for r in range(top, bot + 1)]
+        idx += [bot * n + c for c in range(left + 1, right + 1)]
+        if left < right:
+            idx += [r * n + right for r in range(bot - 1, top - 1, -1)]
+        if top < bot:
+            idx += [top * n + c for c in range(right - 1, left, -1)]
+        top += 1; bot -= 1; left += 1; right -= 1
+    return np.array(idx)
+
+
+@lru_cache(maxsize=None)
+def path_orderings(path_type: str, num_tokens: int) -> List[np.ndarray]:
+    """List of token orderings for one of the reference's path types.
+
+    '{L}_2+8' -> 10 orderings: horizontal fwd/rev, boustrophedon-vertical
+    fwd/rev, zigzag / reversed, mirrored zigzag / reversed, spirals cw/ccw
+    (ref: Mutimodality_Mamba7.py:608-701).
+    'eight_directions_gate' -> 8: horizontal, col-major, plain diagonals,
+    each fwd/rev (ref: :454-515).
+    '{L}twoclock' -> the two spirals (ref: :516-607).
+    """
+    n = int(round(num_tokens ** 0.5))
+    assert n * n == num_tokens, "token count must be a square grid"
+
+    if path_type.endswith("_2+8"):
+        vf = col_boustrophedon(n)
+        zf = zigzag(n)
+        zm = zigzag_mirror(n)
+        return [row_major(n), row_major(n)[::-1].copy(), vf, vf[::-1].copy(),
+                zf, zf[::-1].copy(), zm, zm[::-1].copy(),
+                spiral_cw(n), spiral_ccw(n)]
+    if path_type == "eight_directions_gate":
+        vf = col_major(n)
+        df = diag(n)
+        dm = diag_mirror(n)
+        return [row_major(n), row_major(n)[::-1].copy(), vf,
+                vf[::-1].copy(), df, df[::-1].copy(), dm, dm[::-1].copy()]
+    if path_type.endswith("twoclock"):
+        return [spiral_cw(n), spiral_ccw(n)]
+    if path_type in ("forward_reverse_mean", "forward_reverse_gate"):
+        return [row_major(n), row_major(n)[::-1].copy()]
+    if path_type == "forward":
+        return [row_major(n)]
+    raise ValueError("unknown path type {}".format(path_type))
+
+
+def inverse_permutation(perm: np.ndarray) -> np.ndarray:
+    return np.argsort(perm)

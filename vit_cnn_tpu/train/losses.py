@@ -90,9 +90,26 @@ def focal_loss(logits: jnp.ndarray, targets: jnp.ndarray, gamma: float = 0.0,
     return jnp.mean(loss) if size_average else jnp.sum(loss)
 
 
+def ce_first_output(output, targets, class_weights=None, valid=None):
+    """CE on output[0] when a model returns (logits, *aux) but the harness
+    trains with plain CE (matches the reference's tuple handling in
+    val/test, ref: model_utils.py:1119-1120/1149-1150)."""
+    logits = output[0] if isinstance(output, tuple) else output
+    return weighted_cross_entropy(logits, targets, class_weights, valid)
+
+
+def glt_loss(output, targets, class_weights=None, valid=None):
+    """CE(blended logits) + in-model reconstruction consistency loss
+    (GLT returns (x_cls, con_loss), ref: GLT_Net.py:417-422)."""
+    logits, con_loss = output
+    return (weighted_cross_entropy(logits, targets, class_weights, valid)
+            + con_loss)
+
+
 LOSSES = {
-    "cross_entropy": weighted_cross_entropy,
+    "cross_entropy": ce_first_output,
     "cross_fusion": cross_fusion_loss,
     "endnet": endnet_loss,
     "focal": focal_loss,
+    "glt": glt_loss,
 }
