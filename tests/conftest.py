@@ -3,11 +3,21 @@ is exercised without TPU hardware (SURVEY.md §4)."""
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# Force CPU even when the environment pins another platform (e.g. a
+# tunneled TPU): unit tests must exercise the 8-device virtual mesh, and
+# TPU recompiles per test would dominate runtime. NOTE: some environments
+# pre-import jax from sitecustomize, so the env var alone is too late —
+# jax.config.update is required (it works as long as no backend has been
+# initialized yet).
+os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8").strip()
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402

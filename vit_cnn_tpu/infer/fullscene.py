@@ -16,7 +16,7 @@ reference's border behavior (border pixels never receive probability mass).
 
 from __future__ import annotations
 
-from functools import partial
+from functools import lru_cache, partial
 from typing import Dict, Optional
 
 import jax
@@ -40,9 +40,8 @@ def sliding_window_origins(h: int, w: int, patch_size: int,
     return np.stack([xx, yy], axis=1).astype(np.int32)
 
 
-@partial(jax.jit, static_argnames=("patch_size", "apply_fn"))
-def _chunk_scatter(probs, scene1, scene2, origins, valid, variables,
-                   patch_size: int, apply_fn):
+def _chunk_scatter_fn(probs, scene1, scene2, origins, valid, variables,
+                      patch_size: int, apply_fn):
     """Gather a chunk of windows, run the model, scatter-add into probs."""
 
     def gather(img, origin):
@@ -60,10 +59,40 @@ def _chunk_scatter(probs, scene1, scene2, origins, valid, variables,
     return probs.at[cx, cy].add(logits.astype(probs.dtype))
 
 
+_chunk_scatter = jax.jit(_chunk_scatter_fn,
+                         static_argnames=("patch_size", "apply_fn"))
+
+_BF16_WRAPPERS: Dict = {}
+
+
+def _bf16_cached(apply_fn):
+    """bf16 wrapper with stable identity, so the jit cache keyed on
+    ``apply_fn`` is not invalidated on every call."""
+    if apply_fn not in _BF16_WRAPPERS:
+        from ..nn.precision import bf16_apply
+
+        _BF16_WRAPPERS[apply_fn] = bf16_apply(apply_fn)
+    return _BF16_WRAPPERS[apply_fn]
+
+
+@lru_cache(maxsize=8)
+def _sharded_chunk_scatter(mesh, patch_size: int, apply_fn):
+    """Mesh-sharded variant: window origins split over the 'data' axis,
+    probability map + scene + params replicated; XLA inserts the
+    scatter-add combine collective."""
+    from ..parallel.mesh import batch_sharding, replicated
+
+    bs = batch_sharding(mesh)
+    rep = replicated(mesh)
+    return jax.jit(
+        partial(_chunk_scatter_fn, patch_size=patch_size, apply_fn=apply_fn),
+        in_shardings=(rep, rep, rep, bs, bs, rep),
+        out_shardings=rep)
+
+
 def full_scene_probabilities(module, variables, img1: np.ndarray,
                              img2: np.ndarray, hyperparams: Dict,
-                             chunk: int = 8192,
-                             donate: bool = True) -> np.ndarray:
+                             chunk: int = 8192, mesh=None) -> np.ndarray:
     """Class-score map (H, W, n_classes), matching ref: model_utils.py:test.
 
     Center-pixel accumulation only (every model in the zoo is
@@ -95,9 +124,16 @@ def full_scene_probabilities(module, variables, img1: np.ndarray,
                             np.zeros(rem, np.float32)])
 
     apply_fn = module.apply
+    if hyperparams.get("bf16"):
+        apply_fn = _bf16_cached(apply_fn)
+    if mesh is not None:
+        step_fn = _sharded_chunk_scatter(mesh, patch_size, apply_fn)
+        run = lambda *a: step_fn(*a)
+    else:
+        run = lambda *a: _chunk_scatter(*a, patch_size=patch_size,
+                                        apply_fn=apply_fn)
     for i in range(0, len(origins), chunk):
         o = jnp.asarray(origins[i:i + chunk])
         v = jnp.asarray(valid[i:i + chunk])
-        probs = _chunk_scatter(probs, scene1, scene2, o, v, variables,
-                               patch_size, apply_fn)
+        probs = run(probs, scene1, scene2, o, v, variables)
     return np.asarray(probs)

@@ -58,24 +58,33 @@ def _scan_kernel(u_ref, dt_ref, At_ref, b_ref, c_ref, d_ref, y_ref, h_ref):
     bb, L, d = u_ref.shape
     n = b_ref.shape[-1]
     h_ref[...] = jnp.zeros_like(h_ref)
-    At = At_ref[...]          # (n, d): A transposed for the (n, d) layout
-    Dv = d_ref[...]           # (1, d)
+    # accumulate in f32 even under a bf16 compute policy; only the y store
+    # drops back to the input dtype
+    At = At_ref[...].astype(jnp.float32)   # (n, d): A.T for the (n, d) layout
+    Dv = d_ref[...].astype(jnp.float32)    # (1, d)
 
     def body(t, _):
-        dt_t = dt_ref[:, t, :]                   # (bb, d)
-        u_t = u_ref[:, t, :]
-        B_t = b_ref[:, t, :]                     # (bb, n)
-        C_t = c_ref[:, t, :]
+        dt_t = dt_ref[:, t, :].astype(jnp.float32)           # (bb, d)
+        u_t = u_ref[:, t, :].astype(jnp.float32)
+        B_t = b_ref[:, t, :].astype(jnp.float32)             # (bb, n)
+        C_t = c_ref[:, t, :].astype(jnp.float32)
         dA = jnp.exp(dt_t[:, None, :] * At[None])            # (bb, n, d)
         h = dA * h_ref[...] + (dt_t * u_t)[:, None, :] * B_t[..., None]
         h_ref[...] = h
-        y_ref[:, t, :] = jnp.sum(C_t[..., None] * h, axis=1) + Dv * u_t
+        y_t = jnp.sum(C_t[..., None] * h, axis=1) + Dv * u_t
+        y_ref[:, t, :] = y_t.astype(y_ref.dtype)
         return 0
 
     jax.lax.fori_loop(0, L, body, 0)
 
 
 def _pallas_forward(u, dt, A, B, C, D, block_b: int):
+    # The recurrence is accumulated in f32 regardless of the compute policy
+    # (bf16 state feedback diverges over L steps), and Mosaic's bf16 layouts
+    # reject the narrow (d=72/128) slices this kernel loads — so the kernel
+    # runs wholly in f32; only the output returns to the caller's dtype.
+    out_dtype = u.dtype
+    u, dt, A, B, C, D = (x.astype(jnp.float32) for x in (u, dt, A, B, C, D))
     b, L, d = u.shape
     n = A.shape[-1]
     pad = (-b) % block_b
@@ -102,7 +111,7 @@ def _pallas_forward(u, dt, A, B, C, D, block_b: int):
         out_shape=jax.ShapeDtypeStruct((bt, L, d), u.dtype),
         scratch_shapes=[pltpu.VMEM((block_b, n, d), jnp.float32)],
     )(u, dt, A.T, B, C, D[None])
-    return y[:b]
+    return y[:b].astype(out_dtype)
 
 
 @partial(jax.custom_vjp, nondiff_argnums=(6,))

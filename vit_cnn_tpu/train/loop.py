@@ -49,13 +49,16 @@ class Trainer:
     def __init__(self, module, hyperparams: Dict, pipeline: PatchPipeline,
                  val_pipeline: Optional[PatchPipeline] = None,
                  seed: int = 0, checkpoint_root: str = "./checkpoints",
-                 savename: str = ""):
+                 savename: str = "", mesh=None,
+                 save_checkpoints: bool = True):
         self.module = module
         self.hp = hyperparams
         self.pipeline = pipeline
         self.val_pipeline = val_pipeline
         self.checkpoint_root = checkpoint_root
         self.savename = savename
+        self.mesh = mesh
+        self.save_checkpoints = save_checkpoints
         self.log = TrainLog()
 
         self.batch_size = int(hyperparams["batch_size"])
@@ -103,7 +106,6 @@ class Trainer:
         loss_fn = self.loss_fn
         class_weights = self.class_weights
 
-        @jax.jit
         def step(state: TrainState, centers, valid, rng):
             data_key, dropout_key = jax.random.split(rng)
             p1, p2, labels = pipeline.make_batch(data_key, centers, train=True)
@@ -131,7 +133,17 @@ class Trainer:
                 state = state.replace(batch_stats=updates["batch_stats"])
             return state, loss
 
-        return step
+        if self.mesh is not None:
+            # DP over the mesh: batch (centers/valid) sharded on 'data',
+            # state + rng replicated; XLA inserts the gradient psum.
+            from ..parallel.mesh import batch_sharding, replicated
+
+            bs = batch_sharding(self.mesh)
+            rep = replicated(self.mesh)
+            return jax.jit(step,
+                           in_shardings=(rep, bs, bs, rep),
+                           out_shardings=(rep, rep))
+        return jax.jit(step)
 
     def _build_eval_step(self):
         module = self.module
@@ -216,12 +228,13 @@ class Trainer:
             if abs(metric) >= best_metric:
                 best_metric = abs(metric)
                 best_variables = jax.device_get(self.state.variables)
-                ckpt.save_checkpoint(
-                    best_variables, self.checkpoint_root,
-                    self.module.__class__.__name__.lower(), dataset_name,
-                    "train", "best_epoch", self.savename, run, epoch,
-                    best_metric)
-            if epoch == self.epochs:
+                if self.save_checkpoints:
+                    ckpt.save_checkpoint(
+                        best_variables, self.checkpoint_root,
+                        self.module.__class__.__name__.lower(), dataset_name,
+                        "train", "best_epoch", self.savename, run, epoch,
+                        best_metric)
+            if epoch == self.epochs and self.save_checkpoints:
                 ckpt.save_checkpoint(
                     jax.device_get(self.state.variables),
                     self.checkpoint_root,
