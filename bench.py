@@ -19,6 +19,15 @@ import time
 
 import numpy as np
 
+# persistent compile cache: the flagship bf16 program takes ~10 min to
+# build through a remote-compile backend; cache it across bench runs
+os.makedirs(os.path.expanduser("~/.cache/vct_jax_cache"), exist_ok=True)
+import jax  # noqa: E402
+
+jax.config.update("jax_compilation_cache_dir",
+                  os.path.expanduser("~/.cache/vct_jax_cache"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 10)
+
 H, W, BANDS, CLASSES, PATCH = 349, 1905, 144, 15, 9
 CHUNK = 4096
 BENCH_CHUNKS = 32          # patches measured = CHUNK * BENCH_CHUNKS
@@ -97,8 +106,13 @@ def measure_ours(img1, img2):
 
 def measure_torch_baseline(img1, img2, budget_s=30.0):
     """Reference-style hot loop: Python per-window generator, list-of-views
-    batching, torch CPU forward (a light CNN — a conservative stand-in: the
-    real flagship would be slower), center-pixel accumulate."""
+    batching, torch CPU forward, center-pixel accumulate
+    (ref: model_utils.py:1067-1132).
+
+    The stand-in model is FLOPs-MATCHED to the flagship (~300 MFLOP/patch,
+    measured via XLA cost analysis) using cuDNN/oneDNN-friendly dense convs
+    — a conservative baseline: the real Multimodality_Mamba on torch CPU
+    (10-direction HF MambaMixer slow path) is far slower per FLOP."""
     if os.path.exists(BASELINE_FILE):
         with open(BASELINE_FILE) as f:
             cached = json.load(f)
@@ -110,20 +124,23 @@ def measure_torch_baseline(img1, img2, budget_s=30.0):
     import torch
     import torch.nn as tnn
 
-    class SmallCNN(tnn.Module):
+    class MatchedCNN(tnn.Module):
+        # ~300 MFLOP per 9x9 patch: 81*(145*256 + 256*256*9 + 256*256*9)*2
         def __init__(self):
             super().__init__()
             self.net = tnn.Sequential(
-                tnn.Conv2d(BANDS + 1, 64, 3, padding=1), tnn.BatchNorm2d(64),
-                tnn.ReLU(), tnn.Conv2d(64, 128, 3, padding=1),
-                tnn.BatchNorm2d(128), tnn.ReLU(),
+                tnn.Conv2d(BANDS + 1, 256, 1), tnn.BatchNorm2d(256),
+                tnn.ReLU(), tnn.Conv2d(256, 256, 3, padding=1),
+                tnn.BatchNorm2d(256), tnn.ReLU(),
+                tnn.Conv2d(256, 256, 3, padding=1),
+                tnn.BatchNorm2d(256), tnn.ReLU(),
                 tnn.AdaptiveAvgPool2d(1), tnn.Flatten(),
-                tnn.Linear(128, CLASSES))
+                tnn.Linear(256, CLASSES))
 
         def forward(self, a, b):
             return self.net(torch.cat([a, b], 1))
 
-    net = SmallCNN().eval()
+    net = MatchedCNN().eval()
     probs = np.zeros((H, W, CLASSES), np.float32)
 
     def windows():
@@ -157,9 +174,10 @@ def measure_torch_baseline(img1, img2, budget_s=30.0):
     rate = done / (time.time() - t0)
     log("torch-CPU reference-style loop: {:.0f} patches/sec".format(rate))
     with open(BASELINE_FILE, "w") as f:
-        json.dump({"patches_per_sec": rate, "model": "SmallCNN",
+        json.dump({"patches_per_sec": rate, "model": "MatchedCNN",
                    "note": "reference-style python sliding-window loop, "
-                           "torch CPU, conservative stand-in"}, f)
+                           "torch CPU, FLOPs-matched (~300 MFLOP/patch) "
+                           "conservative stand-in"}, f)
     return rate
 
 

@@ -1,0 +1,96 @@
+"""MultiDirMambaLayer must be numerically identical to the literal
+formulation (gather every ordering -> shared MambaMixer on the widened
+batch -> inverse gathers -> softmax direction gate), which mirrors
+ref: Mutimodality_Mamba7.py:608-701. The optimized layer hoists the
+permutation-commuting ops and serves reverse orderings via reverse scans —
+pure restructuring, same function."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from vit_cnn_tpu.nn.mamba import MambaMixer, MultiDirMambaLayer
+from vit_cnn_tpu.ops.scan_paths import (base_paths, inverse_permutation,
+                                        path_orderings)
+
+
+def literal_multidir(layer_params, x, hidden, inter, path_type):
+    """The reference's widened-batch formulation, using the SAME params."""
+    b, L, _ = x.shape
+    orders = path_orderings(path_type, L)
+    n_dir = len(orders)
+    perms = jnp.asarray(np.stack(orders))
+    inv_perms = jnp.asarray(np.stack([inverse_permutation(o)
+                                      for o in orders]))
+
+    mixer = MambaMixer(hidden, inter, use_pallas=False)
+    mixer_params = {k: v for k, v in layer_params.items()
+                    if k != "direction_gate"}
+
+    gathered = x[:, perms].transpose(1, 0, 2, 3).reshape(n_dir * b, L, -1)
+    mixed = mixer.apply({"params": mixer_params}, gathered)
+    mixed = mixed.reshape(n_dir, b, L, -1)
+    unmixed = jnp.take_along_axis(mixed, inv_perms[:, None, :, None], axis=2)
+    w = jax.nn.softmax(layer_params["direction_gate"])
+    return jnp.einsum("dblc,d->blc", unmixed, w)
+
+
+def test_matches_literal_formulation():
+    hidden, inter = 24, 12
+    L = 9                                   # 3x3 grid, '9_2+8' -> 10 dirs
+    key = jax.random.PRNGKey(0)
+    x = jax.random.normal(key, (3, L, hidden))
+
+    layer = MultiDirMambaLayer(hidden, inter, path_type="9_2+8",
+                               use_pallas=False)
+    variables = layer.init({"params": key}, x)
+    got = layer.apply(variables, x)
+    want = literal_multidir(variables["params"], x, hidden, inter, "9_2+8")
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-4, atol=2e-5)
+
+
+def test_nonzero_gate_matches_literal():
+    """Same check with a non-uniform direction gate (random params)."""
+    hidden, inter = 16, 8
+    L = 9
+    key = jax.random.PRNGKey(1)
+    x = jax.random.normal(key, (2, L, hidden))
+    layer = MultiDirMambaLayer(hidden, inter, path_type="9_2+8",
+                               use_pallas=False)
+    variables = layer.init({"params": key}, x)
+    params = jax.tree_util.tree_map(
+        lambda p: p + 0.3 * jax.random.normal(key, p.shape),
+        variables["params"])
+    got = layer.apply({"params": params}, x)
+    want = literal_multidir(params, x, hidden, inter, "9_2+8")
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=5e-4, atol=5e-5)
+
+
+def test_base_paths_structure():
+    orders, bases, fwd, rev = base_paths("81_2+8", 81)
+    assert len(orders) == 10
+    assert len(bases) == 6                  # 4 fwd/rev pairs + 2 spirals
+    assert sum(1 for r in rev if r >= 0) == 4
+    # every direction is served exactly once
+    served = sorted(fwd + [r for r in rev if r >= 0])
+    assert served == list(range(10))
+
+
+def test_reverse_scan_equals_flipped_forward():
+    from vit_cnn_tpu.ops.selective_scan import selective_scan
+
+    key = jax.random.PRNGKey(2)
+    b, L, d, n = 2, 7, 4, 3
+    u = jax.random.normal(key, (b, L, d))
+    dt = jax.nn.softplus(jax.random.normal(key, (b, L, d))) * 0.1
+    A = -jnp.abs(jax.random.normal(key, (d, n)))
+    B = jax.random.normal(key, (b, L, n))
+    C = jax.random.normal(key, (b, L, n))
+    D = jnp.ones((d,))
+    got = selective_scan(u, dt, A, B, C, D, reverse=True)
+    flip = lambda t: jnp.flip(t, axis=1)
+    want = flip(selective_scan(flip(u), flip(dt), A, flip(B), flip(C), D))
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-5, atol=1e-6)

