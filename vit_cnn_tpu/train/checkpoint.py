@@ -47,3 +47,67 @@ def restore_checkpoint(path: str, target: Optional[Any] = None) -> Any:
     if target is None:
         return serialization.msgpack_restore(data)
     return serialization.from_bytes(target, data)
+
+
+# ---------------------------------------------------------------------------
+# Full-train-state checkpointing (resume): params + batch_stats + opt_state
+# + step + host RNG — orbax-backed. The reference can only restore weights
+# (ref: main.py:472-473); resumable training is the SURVEY.md §5 plan for
+# "failure detection / elastic recovery".
+# ---------------------------------------------------------------------------
+
+def save_train_state(path: str, state, extra: Optional[dict] = None) -> str:
+    """Checkpoint a full TrainState (+ JSON-serializable ``extra`` metadata
+    like epoch / np_rng state) with orbax; flax-bytes fallback."""
+    payload = {"params": state.params, "batch_stats": state.batch_stats,
+               "opt_state": state.opt_state,
+               "step": jax.device_get(state.step)}
+    path = os.path.abspath(path)
+    try:
+        import orbax.checkpoint as ocp
+
+        ckptr = ocp.PyTreeCheckpointer()
+        ckptr.save(path, jax.device_get(payload), force=True)
+    except Exception:
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        with open(path + ".msgpack", "wb") as f:
+            f.write(serialization.to_bytes(jax.device_get(payload)))
+        path = path + ".msgpack"
+    if extra is not None:
+        import json
+
+        with open(os.path.join(os.path.dirname(path),
+                               os.path.basename(path) + ".meta.json"),
+                  "w") as f:
+            json.dump(extra, f)
+    return path
+
+
+def restore_train_state(path: str, state):
+    """Restore a TrainState saved by :func:`save_train_state`; returns
+    (new_state, extra_metadata_or_None)."""
+    import json
+
+    path = os.path.abspath(path)
+    target = {"params": state.params, "batch_stats": state.batch_stats,
+              "opt_state": state.opt_state,
+              "step": jax.device_get(state.step)}
+    if path.endswith(".msgpack") or os.path.isfile(path):
+        with open(path, "rb") as f:
+            payload = serialization.from_bytes(target, f.read())
+    else:
+        import orbax.checkpoint as ocp
+
+        ckptr = ocp.PyTreeCheckpointer()
+        payload = ckptr.restore(path, item=target)
+    meta_path = os.path.join(os.path.dirname(path),
+                             os.path.basename(path) + ".meta.json")
+    extra = None
+    if os.path.exists(meta_path):
+        with open(meta_path) as f:
+            extra = json.load(f)
+    new_state = state.replace(params=payload["params"],
+                              batch_stats=payload["batch_stats"],
+                              opt_state=payload["opt_state"],
+                              step=int(payload["step"]))
+    return new_state, extra

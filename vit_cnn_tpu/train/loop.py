@@ -184,15 +184,43 @@ class Trainer:
         return correct / max(total, 1)
 
     # ------------------------------------------------------------------
+    # Resumable checkpointing (SURVEY.md §5 elastic recovery): full train
+    # state + host RNGs, so a restarted run continues with the identical
+    # shuffle order and augmentation stream.
+    def save_resumable(self, path: str, epoch: int) -> str:
+        rng_state = self.np_rng.get_state()
+        extra = {"epoch": epoch,
+                 "np_rng": [rng_state[0], np.asarray(rng_state[1]).tolist(),
+                            int(rng_state[2]), int(rng_state[3]),
+                            float(rng_state[4])],
+                 "data_key": np.asarray(
+                     jax.random.key_data(self.data_key)).tolist()}
+        return ckpt.save_train_state(path, self.state, extra)
+
+    def restore_resumable(self, path: str) -> int:
+        """Returns the epoch to resume FROM (0 if no metadata)."""
+        self.state, extra = ckpt.restore_train_state(path, self.state)
+        if not extra:
+            return 0
+        s = extra["np_rng"]
+        self.np_rng.set_state((s[0], np.asarray(s[1], dtype=np.uint32),
+                               int(s[2]), int(s[3]), float(s[4])))
+        self.data_key = jax.random.wrap_key_data(
+            jnp.asarray(extra["data_key"], dtype=jnp.uint32))
+        return int(extra["epoch"])
+
+    # ------------------------------------------------------------------
     def fit(self, run: int = 0, dataset_name: str = "dataset",
-            log_every: int = 0, on_epoch_end: Optional[Callable] = None):
+            log_every: int = 0, on_epoch_end: Optional[Callable] = None,
+            start_epoch: int = 0):
         """Train; returns the best-validation variables (deepcopy), mirroring
-        ref: model_utils.py:1015-1045."""
+        ref: model_utils.py:1015-1045. ``start_epoch`` > 0 continues a run
+        restored with :meth:`restore_resumable`."""
         best_metric = 0.0
         best_variables = jax.device_get(self.state.variables)
         bs = self.batch_size
 
-        for epoch in range(1, self.epochs + 1):
+        for epoch in range(start_epoch + 1, self.epochs + 1):
             t0 = time.time()
             order = self.pipeline.epoch_order(self.np_rng)
             centers_all, valid_all = _pad_to_multiple(order, bs)
