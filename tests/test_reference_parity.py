@@ -1,0 +1,207 @@
+"""Numerics parity vs the ACTUAL reference (SURVEY.md §4 "numerics parity
+tests"): load the reference's torch modules from /root/reference, transplant
+their weights into our flax models, and compare forward outputs on the same
+inputs. Skipped when the reference tree is not mounted."""
+
+import importlib.util
+import os
+
+import numpy as np
+import pytest
+
+REF = "/root/reference"
+pytestmark = pytest.mark.skipif(not os.path.isdir(REF),
+                                reason="reference tree not mounted")
+
+torch = pytest.importorskip("torch")
+
+
+def _load_ref(relpath, name):
+    spec = importlib.util.spec_from_file_location(
+        name, os.path.join(REF, relpath))
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod
+
+
+def _t2j(t):
+    return np.asarray(t.detach().numpy())
+
+
+def _lin(sd, prefix):
+    """torch Linear -> flax Dense {kernel, bias}."""
+    return {"kernel": _t2j(sd[prefix + ".weight"]).T,
+            "bias": _t2j(sd[prefix + ".bias"])}
+
+
+def _conv(sd, prefix):
+    """torch Conv2d (O,I,kh,kw) -> flax Conv (kh,kw,I,O)."""
+    return {"kernel": _t2j(sd[prefix + ".weight"]).transpose(2, 3, 1, 0),
+            "bias": _t2j(sd[prefix + ".bias"])}
+
+
+def _bn(sd, prefix):
+    return ({"bn": {"scale": _t2j(sd[prefix + ".weight"]),
+                    "bias": _t2j(sd[prefix + ".bias"])}},
+            {"bn": {"mean": _t2j(sd[prefix + ".running_mean"]),
+                    "var": _t2j(sd[prefix + ".running_var"])}})
+
+
+def _randomize_bn_stats(net, rng):
+    """Non-default running stats so the eval-mode comparison is strong."""
+    for m in net.modules():
+        if isinstance(m, (torch.nn.BatchNorm1d, torch.nn.BatchNorm2d)):
+            m.running_mean.copy_(torch.tensor(
+                rng.randn(m.num_features).astype("float32") * 0.2))
+            m.running_var.copy_(torch.tensor(
+                1.0 + 0.3 * rng.rand(m.num_features).astype("float32")))
+
+
+def test_endnet_forward_parity():
+    import jax.numpy as jnp
+
+    from vit_cnn_tpu.models.endnet import EndNet
+
+    ref = _load_ref("model/compare_method/EndNet.py", "ref_endnet")
+    rng = np.random.RandomState(0)
+    bands, bands2, K, B = 20, 1, 6, 8
+    net = ref.EndNet(bands, bands2, K).eval()
+    with torch.no_grad():
+        _randomize_bn_stats(net, rng)
+    sd = net.state_dict()
+
+    params, stats = {}, {}
+    for side, pre in (("encoder_a", "a"), ("encoder_b", "b")):
+        params[side], stats[side] = {}, {}
+        for i in range(4):
+            params[side]["Dense_{}".format(i)] = _lin(
+                sd, "encoder_fc{}_{}".format(i + 1, pre))
+            p, s = _bn(sd, "encoder_bn{}_{}".format(i + 1, pre))
+            params[side]["BatchNorm_{}".format(i)] = p
+            stats[side]["BatchNorm_{}".format(i)] = s
+    params["joint_fc5"] = _lin(sd, "joint_encoder_fc5")
+    params["joint_bn5"], stats["joint_bn5"] = _bn(sd, "joint_encoder_bn5")
+    params["joint_fc6"] = _lin(sd, "joint_encoder_fc6")
+    params["joint_bn6"], stats["joint_bn6"] = _bn(sd, "joint_encoder_bn6")
+    params["head"] = _lin(sd, "joint_encoder_fc7")
+    for side, pre in (("decoder_a", "a"), ("decoder_b", "b")):
+        params[side] = {"Dense_{}".format(i): _lin(
+            sd, "decoder_fc{}_{}".format(i + 1, pre)) for i in range(4)}
+
+    x1 = rng.randn(B, bands).astype("float32")
+    x2 = rng.randn(B, bands2).astype("float32")
+    with torch.no_grad():
+        t_out = net(torch.from_numpy(x1), torch.from_numpy(x2))
+
+    ours = EndNet(n_bands1=bands, n_bands2=bands2, n_classes=K)
+    j_out = ours.apply({"params": params, "batch_stats": stats},
+                       jnp.asarray(x1)[:, None, None, :],
+                       jnp.asarray(x2)[:, None, None, :], train=False)
+    # logits + both reconstructions must match the reference bitwise-ish
+    for got, want in zip(j_out[:3], t_out[:3]):
+        np.testing.assert_allclose(np.asarray(got), _t2j(want),
+                                   rtol=1e-4, atol=1e-5)
+
+
+def test_early_fusion_cnn_forward_parity():
+    import jax.numpy as jnp
+
+    from vit_cnn_tpu.models.mdl_hong import Early_fusion_CNN
+
+    ref = _load_ref("model/compare_method/DML_Hong.py", "ref_dml")
+    rng = np.random.RandomState(1)
+    bands, bands2, K, B, P = 10, 1, 5, 4, 7
+    net = ref.Early_fusion_CNN(bands, bands2, K).eval()
+    with torch.no_grad():
+        _randomize_bn_stats(net, rng)
+    sd = net.state_dict()
+
+    def cbr(conv_name, bn_name):
+        p, s = _bn(sd, bn_name)
+        return ({"Conv_0": _conv(sd, conv_name), "BatchNorm_0": p},
+                {"BatchNorm_0": s})
+
+    stem_p, stem_s = {}, {}
+    for i in range(4):
+        p, s = cbr("conv{}".format(i + 1), "bn{}".format(i + 1))
+        stem_p["ConvBNReLU_{}".format(i)] = p
+        stem_s["ConvBNReLU_{}".format(i)] = s
+    head_p, head_s = {}, {}
+    for i, idx in enumerate((5, 6)):
+        p, s = cbr("conv{}".format(idx), "bn{}".format(idx))
+        head_p["ConvBNReLU_{}".format(i)] = p
+        head_s["ConvBNReLU_{}".format(i)] = s
+    w7 = _t2j(sd["conv7.weight"])[:, :, 0, 0]        # (K, 64)
+    head_p["Dense_0"] = {"kernel": w7.T, "bias": _t2j(sd["conv7.bias"])}
+
+    params = {"_Stem_0": stem_p, "_JointHead_0": head_p}
+    stats = {"_Stem_0": stem_s, "_JointHead_0": head_s}
+
+    x1 = rng.randn(B, bands, P, P).astype("float32")
+    x2 = rng.randn(B, bands2, P, P).astype("float32")
+    with torch.no_grad():
+        t_out = net(torch.from_numpy(x1), torch.from_numpy(x2))
+
+    ours = Early_fusion_CNN(n_bands1=bands, n_bands2=bands2, n_classes=K)
+    j_out = ours.apply({"params": params, "batch_stats": stats},
+                       jnp.asarray(x1.transpose(0, 2, 3, 1)),
+                       jnp.asarray(x2.transpose(0, 2, 3, 1)), train=False)
+    np.testing.assert_allclose(np.asarray(j_out), _t2j(t_out),
+                               rtol=1e-4, atol=1e-4)
+
+
+def test_cross_fusion_cnn_forward_parity():
+    """The weight-SHARED cross-modal variant with 3 logit sets
+    (ref: DML_Hong.py:226-323)."""
+    import jax.numpy as jnp
+
+    from vit_cnn_tpu.models.mdl_hong import Cross_fusion_CNN
+
+    ref = _load_ref("model/compare_method/DML_Hong.py", "ref_dml2")
+    rng = np.random.RandomState(2)
+    bands, bands2, K, B, P = 8, 2, 5, 4, 7
+    net = ref.Cross_fusion_CNN(bands, bands2, K).eval()
+    with torch.no_grad():
+        _randomize_bn_stats(net, rng)
+    sd = net.state_dict()
+
+    def cbr(conv_name, bn_name):
+        p, s = _bn(sd, bn_name)
+        return ({"Conv_0": _conv(sd, conv_name), "BatchNorm_0": p},
+                {"BatchNorm_0": s})
+
+    params, stats = {}, {}
+    for side in ("a", "b"):
+        sp, ss = {}, {}
+        for i in range(3):
+            p, s = cbr("conv{}_{}".format(i + 1, side),
+                       "bn{}_{}".format(i + 1, side))
+            sp["ConvBNReLU_{}".format(i)] = p
+            ss["ConvBNReLU_{}".format(i)] = s
+        params["stem_" + side] = sp
+        stats["stem_" + side] = ss
+        p, s = cbr("conv4_" + side, "bn4_" + side)
+        params["conv4_" + side] = p
+        stats["conv4_" + side] = s
+    head_p, head_s = {}, {}
+    for i, idx in enumerate((5, 6)):
+        p, s = cbr("conv{}".format(idx), "bn{}".format(idx))
+        head_p["ConvBNReLU_{}".format(i)] = p
+        head_s["ConvBNReLU_{}".format(i)] = s
+    w7 = _t2j(sd["conv7.weight"])[:, :, 0, 0]
+    head_p["Dense_0"] = {"kernel": w7.T, "bias": _t2j(sd["conv7.bias"])}
+    params["joint_head"] = head_p
+    stats["joint_head"] = head_s
+
+    x1 = rng.randn(B, bands, P, P).astype("float32")
+    x2 = rng.randn(B, bands2, P, P).astype("float32")
+    with torch.no_grad():
+        t_out = net(torch.from_numpy(x1), torch.from_numpy(x2))
+
+    ours = Cross_fusion_CNN(n_bands1=bands, n_bands2=bands2, n_classes=K)
+    j_out = ours.apply({"params": params, "batch_stats": stats},
+                       jnp.asarray(x1.transpose(0, 2, 3, 1)),
+                       jnp.asarray(x2.transpose(0, 2, 3, 1)), train=False)
+    for got, want in zip(j_out, t_out):
+        np.testing.assert_allclose(np.asarray(got), _t2j(want),
+                                   rtol=1e-4, atol=1e-4)

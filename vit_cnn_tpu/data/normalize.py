@@ -17,8 +17,12 @@ def minmax_per_band(img: np.ndarray) -> np.ndarray:
     """
     img = img.astype(np.float32, copy=True)
     flat = img.reshape(-1, img.shape[-1])
-    minimal = flat.min(axis=0)
-    maximal = flat.max(axis=0)
+    # NaN-aware extrema: the reference's plain min()/max() turn a single
+    # NaN pixel into an all-NaN band, which then zeroes the ENTIRE ground
+    # truth in its NaN filter (ref: datasets.py:124-129 + 441-449). Using
+    # nanmin/nanmax keeps the damage local to the NaN pixels (QUIRKS.md).
+    minimal = np.nanmin(flat, axis=0)
+    maximal = np.nanmax(flat, axis=0)
     scale = maximal - minimal
     scale[scale == 0] = 1.0
     return (img - minimal) / scale
@@ -28,8 +32,8 @@ def minmax_global(img: np.ndarray) -> np.ndarray:
     """Map the whole raster to [0, 1] with a single min/max
     (how the reference treats single-band LiDAR, ref: datasets.py:131-133)."""
     img = img.astype(np.float32, copy=True)
-    minimal = img.min()
-    maximal = img.max()
+    minimal = np.nanmin(img)
+    maximal = np.nanmax(img)
     scale = maximal - minimal
     if scale == 0:
         scale = 1.0
