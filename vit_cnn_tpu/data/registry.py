@@ -204,6 +204,45 @@ def dataset_names() -> List[str]:
     return list(DATASETS.keys())
 
 
+def _maybe_download(spec: DatasetSpec, folder: str) -> None:
+    """Fetch spec.urls into the dataset folder when files are missing
+    (ref: datasets.py's tqdm-reporthook urlretrieve path). No-op when the
+    spec has no URLs; failures surface as a clear message since most of
+    these datasets are distributed manually."""
+    if not spec.urls:
+        return
+    needed = [t[0] for t in (spec.hsi_file, spec.lidar_file, spec.gt_file)
+              if t is not None]
+    if all(os.path.exists(os.path.join(folder, f)) for f in needed):
+        return
+    os.makedirs(folder, exist_ok=True)
+    import urllib.request
+
+    for url in spec.urls:
+        fname = os.path.join(folder, url.split("/")[-1])
+        if os.path.exists(fname):
+            continue
+        try:
+            try:
+                from tqdm import tqdm
+
+                class _Hook(tqdm):  # reference's TqdmUpTo pattern
+                    def update_to(self, b=1, bsize=1, tsize=None):
+                        if tsize is not None:
+                            self.total = tsize
+                        self.update(b * bsize - self.n)
+
+                with _Hook(unit="B", unit_scale=True,
+                           desc=os.path.basename(fname)) as t:
+                    urllib.request.urlretrieve(url, fname, t.update_to)
+            except ImportError:
+                urllib.request.urlretrieve(url, fname)
+        except Exception as e:  # zero-egress / offline environments
+            raise RuntimeError(
+                "Could not download {} for dataset {} ({}); place the file "
+                "in {} manually.".format(url, spec.name, e, folder)) from e
+
+
 def get_dataset(dataset_name: str, target_folder: str = "./",
                 datasets: Dict[str, DatasetSpec] = DATASETS):
     """Load a dataset by name.
@@ -217,6 +256,7 @@ def get_dataset(dataset_name: str, target_folder: str = "./",
         raise ValueError("{} dataset is unknown.".format(dataset_name))
     spec = datasets[dataset_name]
     folder = os.path.join(target_folder, dataset_name)
+    _maybe_download(spec, folder)
 
     if spec.loader is not None:
         img1, img2, gt = spec.loader(folder)
