@@ -205,3 +205,77 @@ def test_cross_fusion_cnn_forward_parity():
     for got, want in zip(j_out, t_out):
         np.testing.assert_allclose(np.asarray(got), _t2j(want),
                                    rtol=1e-4, atol=1e-4)
+
+
+def test_fusatnet_forward_parity():
+    """Dual-attention towers + valid-conv classifier
+    (ref: FusAtNet.py:10-186)."""
+    import jax.numpy as jnp
+
+    from vit_cnn_tpu.models.fusatnet import FusAtNet
+
+    ref = _load_ref("model/compare_method/FusAtNet.py", "ref_fusat")
+    rng = np.random.RandomState(3)
+    bands, bands2, K, B, P = 6, 1, 4, 2, 11
+    net = ref.FusAtNet(bands, bands2, K).eval()
+    with torch.no_grad():
+        _randomize_bn_stats(net, rng)
+    sd = net.state_dict()
+
+    def cbr(prefix):
+        p, s = _bn(sd, prefix + ".bn")
+        return ({"Conv_0": _conv(sd, prefix + ".conv"), "BatchNorm_0": p},
+                {"BatchNorm_0": s})
+
+    def cbr2(prefix, idx):      # Residual_Unit conv1/bn1 or conv2/bn2
+        p, s = _bn(sd, "{}.bn{}".format(prefix, idx))
+        return ({"Conv_0": _conv(sd, "{}.conv{}".format(prefix, idx)),
+                 "BatchNorm_0": p}, {"BatchNorm_0": s})
+
+    params, stats = {}, {}
+
+    def put(path, pair):
+        node_p, node_s = params, stats
+        for k in path[:-1]:
+            node_p = node_p.setdefault(k, {})
+            node_s = node_s.setdefault(k, {})
+        node_p[path[-1]], node_s[path[-1]] = pair
+
+    # feature towers: 6 ConvUnits each
+    for tower, tname in (("hfe", "hfe"), ("mfe", "mfe")):
+        for i in range(6):
+            put((tname, "ConvBNReLU_{}".format(i)),
+                cbr("{}.conv{}".format(tower, i + 1)))
+    # attention towers: 2 residual units + 2 ConvUnits
+    for tower, tname in (("spatial_am", "spatial_am"), ("mam", "mam")):
+        for r in range(2):
+            for c in range(2):
+                put((tname, "_ResUnit_{}".format(r),
+                     "ConvBNReLU_{}".format(c)),
+                    cbr2("{}.res{}".format(tower, r + 1), c + 1))
+        for i in range(2):
+            put((tname, "ConvBNReLU_{}".format(i)),
+                cbr("{}.conv{}".format(tower, i + 1)))
+    # spectral attention (anonymous at FusAtNet level)
+    for r in range(2):
+        for c in range(2):
+            put(("_ResUnitPooled_{}".format(r), "ConvBNReLU_{}".format(c)),
+                cbr2("spectral_am.res{}".format(r + 1), c + 1))
+    put(("ConvBNReLU_0",), cbr("spectral_am.conv1"))
+    put(("ConvBNReLU_1",), cbr("spectral_am.conv2"))
+    # classifier: 5 valid ConvUnits + final 1x1
+    for i in range(5):
+        put(("ConvBNReLU_{}".format(i + 2),), cbr("cm.conv{}".format(i + 1)))
+    params["Conv_0"] = _conv(sd, "cm.conv6")
+
+    x1 = rng.randn(B, bands, P, P).astype("float32")
+    x2 = rng.randn(B, bands2, P, P).astype("float32")
+    with torch.no_grad():
+        t_out = net(torch.from_numpy(x1), torch.from_numpy(x2))
+
+    ours = FusAtNet(n_bands1=bands, n_bands2=bands2, n_classes=K)
+    j_out = ours.apply({"params": params, "batch_stats": stats},
+                       jnp.asarray(x1.transpose(0, 2, 3, 1)),
+                       jnp.asarray(x2.transpose(0, 2, 3, 1)), train=False)
+    np.testing.assert_allclose(np.asarray(j_out), _t2j(t_out),
+                               rtol=2e-3, atol=2e-3)
