@@ -279,3 +279,73 @@ def test_fusatnet_forward_parity():
                        jnp.asarray(x2.transpose(0, 2, 3, 1)), train=False)
     np.testing.assert_allclose(np.asarray(j_out), _t2j(t_out),
                                rtol=2e-3, atol=2e-3)
+
+
+def test_mft_forward_parity():
+    """Transformer path: Conv3d stem, grouped HetConv, learned tokenization,
+    MCrossAttention blocks (ref: MFT.py:131-214)."""
+    import jax.numpy as jnp
+
+    from vit_cnn_tpu.models.mft import MFT
+
+    ref = _load_ref("model/compare_method/MFT.py", "ref_mft")
+    rng = np.random.RandomState(4)
+    bands, bands2, K, B, P, FM = 16, 1, 5, 3, 11, 16
+    net = ref.MFT(P, FM, bands, bands2, K, False).eval()
+    with torch.no_grad():
+        _randomize_bn_stats(net, rng)
+    sd = net.state_dict()
+
+    def bn3(prefix):
+        p, s = _bn(sd, prefix)
+        return p, s
+
+    params, stats = {}, {}
+    # conv5: torch Conv3d (8, 1, 9, 3, 3) -> flax (9, 3, 3, 1, 8)
+    params["conv5"] = {
+        "kernel": _t2j(sd["conv5.0.weight"]).transpose(2, 3, 4, 1, 0),
+        "bias": _t2j(sd["conv5.0.bias"])}
+    params["bn5"], stats["bn5"] = bn3("conv5.1")
+    params["conv6"] = {"gwc": _conv(sd, "conv6.0.gwc"),
+                       "pwc": _conv(sd, "conv6.0.pwc")}
+    params["bn6"], stats["bn6"] = bn3("conv6.1")
+    params["lidar_conv"] = _conv(sd, "lidarConv.0")
+    params["lidar_bn"], stats["lidar_bn"] = bn3("lidarConv.1")
+
+    params["token_wA"] = _t2j(sd["token_wA"])[0]
+    params["token_wV"] = _t2j(sd["token_wV"])[0]
+    params["token_wA_L"] = _t2j(sd["token_wA_L"])[0]
+    params["token_wV_L"] = _t2j(sd["token_wV_L"])[0]
+    params["position_embeddings"] = _t2j(sd["position_embeddings"])
+    params["out3"] = _lin(sd, "out3")
+    params["encoder_norm"] = {
+        "scale": _t2j(sd["ca.encoder_norm.weight"]),
+        "bias": _t2j(sd["ca.encoder_norm.bias"])}
+    for i in range(2):
+        pre = "ca.layer.{}.".format(i)
+        params["block{}".format(i)] = {
+            "LayerNorm_0": {"scale": _t2j(sd[pre + "attention_norm.weight"]),
+                            "bias": _t2j(sd[pre + "attention_norm.bias"])},
+            "LayerNorm_1": {"scale": _t2j(sd[pre + "ffn_norm.weight"]),
+                            "bias": _t2j(sd[pre + "ffn_norm.bias"])},
+            "_MCrossAttention_0": {
+                "wq": {"kernel": _t2j(sd[pre + "attn.wq.weight"]).T},
+                "wk": {"kernel": _t2j(sd[pre + "attn.wk.weight"]).T},
+                "wv": {"kernel": _t2j(sd[pre + "attn.wv.weight"]).T},
+                "proj": _lin(sd, pre + "attn.proj")},
+            "_Mlp_0": {"Dense_0": _lin(sd, pre + "ffn.fc1"),
+                       "Dense_1": _lin(sd, pre + "ffn.fc2")},
+        }
+
+    x1 = rng.randn(B, bands, P, P).astype("float32")
+    x2 = rng.randn(B, bands2, P, P).astype("float32")
+    with torch.no_grad():
+        t_out = net(torch.from_numpy(x1), torch.from_numpy(x2))
+
+    ours = MFT(patch_size=P, fm=FM, n_bands1=bands, n_bands2=bands2,
+               n_classes=K)
+    j_out = ours.apply({"params": params, "batch_stats": stats},
+                       jnp.asarray(x1.transpose(0, 2, 3, 1)),
+                       jnp.asarray(x2.transpose(0, 2, 3, 1)), train=False)
+    np.testing.assert_allclose(np.asarray(j_out), _t2j(t_out),
+                               rtol=1e-3, atol=1e-3)

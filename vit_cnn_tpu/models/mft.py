@@ -126,7 +126,10 @@ class MFT(nn.Module):
                      name="conv5")(x1)                   # (B, NC-8, P, P, 8)
         x1 = BatchNorm(use_running_average=not train, name="bn5")(x1)
         x1 = nn.relu(x1)
-        x1 = x1.transpose(0, 2, 3, 1, 4).reshape(b, p, p, -1)
+        # flatten (8, NC-8) 8-major, matching the reference's channel order
+        # (ref: MFT.py:183 reshape) so the grouped HetConv partitions the
+        # same channel sets
+        x1 = x1.transpose(0, 2, 3, 4, 1).reshape(b, p, p, -1)
 
         cin = 8 * (nc - 8)
         g = dim // 4 if cin % self.fm == 0 else dim // 8
