@@ -13,7 +13,7 @@ from vit_cnn_tpu.models import MODELS, get_model
 IMPLEMENTED = [
     "EndNet", "Early_fusion_CNN", "Middle_fusion_CNN", "Late_fusion_CNN",
     "Cross_fusion_CNN", "FusAtNet", "S2ENet", "MFT", "SpectralFormer",
-    "S2EFT", "HCTnet", "MHST", "GLT_Net",
+    "S2EFT", "HCTnet", "MHST", "GLT_Net", "Multimodality_Mamba",
 ]
 
 N_CLASSES = 6
