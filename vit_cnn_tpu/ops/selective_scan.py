@@ -126,6 +126,8 @@ def _pallas_forward(u, dt, A, B, C, D, block_b: int, reverse: bool = False):
     y = pl.pallas_call(
         partial(_scan_kernel, reverse=reverse),
         grid=grid,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=96 * 1024 * 1024),
         in_specs=[
             seq_spec(d), seq_spec(d),
             pl.BlockSpec((n, d), lambda i: (0, 0), memory_space=pltpu.VMEM),
@@ -136,6 +138,151 @@ def _pallas_forward(u, dt, A, B, C, D, block_b: int, reverse: bool = False):
         out_shape=jax.ShapeDtypeStruct((bt, L, d), u.dtype),
     )(u, dt, A.T, B, C, D[None])
     return y[:b]
+
+
+# ---------------------------------------------------------------------------
+# Fused Pallas backward (SURVEY.md §7 hard part #1: "fused fwd/bwd")
+#
+# The adjoint of the recurrence has the same shape as the recurrence itself,
+# run in reverse:  λ_t = C_t ⊗ g_t + dA_{t+1} ⊙ λ_{t+1}  with
+# ∂dA_t = λ_t ⊙ h_{t-1},  ∂dBu_t = λ_t.  Nothing is saved from the forward
+# pass but the raw inputs (flash-style): the kernel recomputes h per time
+# chunk from boundary states captured in a cheap first sweep. The
+# associative-scan VJP this replaces materializes O(L) copies of the
+# (batch, L, d, n) state in HBM and was ~10x slower than the forward.
+# ---------------------------------------------------------------------------
+
+def _scan_bwd_kernel(u_ref, dt_ref, At_ref, b_ref, c_ref, d_ref, g_ref,
+                     du_ref, ddt_ref, db_ref, dc_ref, dA_ref, dD_ref,
+                     time_chunk: int = 16, reverse: bool = False):
+    bb, L, d = u_ref.shape
+    n = b_ref.shape[-1]
+    At = At_ref[...].astype(jnp.float32)            # (n, d)
+    Dv = d_ref[...].astype(jnp.float32)             # (1, d)
+
+    @pl.when(pl.program_id(0) == 0)
+    def _init():
+        dA_ref[...] = jnp.zeros_like(dA_ref)
+        dD_ref[...] = jnp.zeros_like(dD_ref)
+
+    n_chunks = (L + time_chunk - 1) // time_chunk
+    fwd_chunks = list(range(n_chunks))
+    if reverse:                      # a reverse scan's adjoint runs forward
+        fwd_chunks = fwd_chunks[::-1]
+
+    def load(ref, t0, tc):
+        return ref[:, t0:t0 + tc, :].astype(jnp.float32)
+
+    def chunk_steps(tc):
+        return range(tc - 1, -1, -1) if reverse else range(tc)
+
+    # ---- sweep 1: boundary states before each chunk (scan direction) ----
+    h = jnp.zeros((bb, n, d), jnp.float32)
+    bounds = {}
+    for c in fwd_chunks:
+        t0 = c * time_chunk
+        tc = min(time_chunk, L - t0)
+        bounds[c] = h
+        dt_c = load(dt_ref, t0, tc)
+        dA_c = jnp.exp(dt_c[:, :, None, :] * At[None, None])
+        dBu_c = (dt_c * load(u_ref, t0, tc))[:, :, None, :] \
+            * load(b_ref, t0, tc)[..., None]
+        for t in chunk_steps(tc):
+            h = dA_c[:, t] * h + dBu_c[:, t]
+
+    # ---- sweep 2: adjoint, chunks in anti-scan order ----
+    lam = jnp.zeros((bb, n, d), jnp.float32)
+    dA_next = jnp.zeros((bb, n, d), jnp.float32)    # dA_{t+1}; zero past end
+    dA_total = jnp.zeros((n, d), jnp.float32)
+    dD_total = jnp.zeros((1, d), jnp.float32)
+    for c in reversed(fwd_chunks):
+        t0 = c * time_chunk
+        tc = min(time_chunk, L - t0)
+        u_c = load(u_ref, t0, tc)
+        dt_c = load(dt_ref, t0, tc)
+        B_c = load(b_ref, t0, tc)
+        C_c = load(c_ref, t0, tc)
+        g_c = load(g_ref, t0, tc)
+        dA_c = jnp.exp(dt_c[:, :, None, :] * At[None, None])
+        dBu_c = (dt_c * u_c)[:, :, None, :] * B_c[..., None]
+
+        # recompute h trajectory through the chunk
+        h = bounds[c]
+        hs_prev = [None] * tc
+        hs = [None] * tc
+        for t in chunk_steps(tc):
+            hs_prev[t] = h
+            h = dA_c[:, t] * h + dBu_c[:, t]
+            hs[t] = h
+        Hp_c = jnp.stack(hs_prev, axis=1)           # h before step t
+        H_c = jnp.stack(hs, axis=1)                 # h after step t
+
+        # adjoint recurrence through the chunk (anti-scan order)
+        lams = [None] * tc
+        adj_steps = (range(tc) if reverse else range(tc - 1, -1, -1))
+        for t in adj_steps:
+            cg = C_c[:, t][..., None] * g_c[:, t][:, None, :]
+            lam = cg + dA_next * lam
+            dA_next = dA_c[:, t]
+            lams[t] = lam
+        Lam_c = jnp.stack(lams, axis=1)             # (bb, Tc, n, d)
+
+        ddA_c = Lam_c * Hp_c
+        S_c = jnp.sum(Lam_c * B_c[..., None], axis=2)           # (bb, Tc, d)
+        T_c = jnp.sum(ddA_c * dA_c * At[None, None], axis=2)
+        ddt_ref[:, t0:t0 + tc, :] = (T_c + u_c * S_c).astype(ddt_ref.dtype)
+        du_ref[:, t0:t0 + tc, :] = (dt_c * S_c + Dv * g_c).astype(
+            du_ref.dtype)
+        db_ref[:, t0:t0 + tc, :] = jnp.sum(
+            Lam_c * (dt_c * u_c)[:, :, None, :], axis=3).astype(db_ref.dtype)
+        dc_ref[:, t0:t0 + tc, :] = jnp.sum(
+            H_c * g_c[:, :, None, :], axis=3).astype(dc_ref.dtype)
+        dA_total += jnp.sum(ddA_c * dA_c * dt_c[:, :, None, :], axis=(0, 1))
+        dD_total += jnp.sum(g_c * u_c, axis=(0, 1))[None]
+
+    dA_ref[...] += dA_total
+    dD_ref[...] += dD_total
+
+
+def _pallas_backward(u, dt, A, B, C, D, g, block_b: int,
+                     reverse: bool = False):
+    in_dtypes = (u.dtype, dt.dtype, A.dtype, B.dtype, C.dtype, D.dtype)
+    u, dt, B, C, g = (x.astype(jnp.float32) for x in (u, dt, B, C, g))
+    A = A.astype(jnp.float32)
+    D = D.astype(jnp.float32)
+    b, L, d = u.shape
+    n = A.shape[-1]
+    pad = (-b) % block_b
+    if pad:
+        z = lambda x: jnp.concatenate(
+            [x, jnp.zeros((pad,) + x.shape[1:], x.dtype)], axis=0)
+        u, dt, B, C, g = z(u), z(dt), z(B), z(C), z(g)
+    bt = u.shape[0]
+
+    seq_spec = lambda ch: pl.BlockSpec((block_b, L, ch),
+                                       lambda i: (i, 0, 0),
+                                       memory_space=pltpu.VMEM)
+    fix_spec = lambda s: pl.BlockSpec(s, lambda i: (0,) * len(s),
+                                      memory_space=pltpu.VMEM)
+    f32 = jnp.float32
+    du, ddt, dB, dC, dA, dD = pl.pallas_call(
+        partial(_scan_bwd_kernel, reverse=reverse),
+        grid=(bt // block_b,),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=96 * 1024 * 1024),
+        in_specs=[seq_spec(d), seq_spec(d), fix_spec((n, d)), seq_spec(n),
+                  seq_spec(n), fix_spec((1, d)), seq_spec(d)],
+        out_specs=[seq_spec(d), seq_spec(d), seq_spec(n), seq_spec(n),
+                   fix_spec((n, d)), fix_spec((1, d))],
+        out_shape=[jax.ShapeDtypeStruct((bt, L, d), f32),
+                   jax.ShapeDtypeStruct((bt, L, d), f32),
+                   jax.ShapeDtypeStruct((bt, L, n), f32),
+                   jax.ShapeDtypeStruct((bt, L, n), f32),
+                   jax.ShapeDtypeStruct((n, d), f32),
+                   jax.ShapeDtypeStruct((1, d), f32)],
+    )(u, dt, A.T, B, C, D[None], g)
+    outs = (du[:b], ddt[:b], dA.T, dB[:b], dC[:b], dD[0])
+    return tuple(o.astype(t) for o, t in zip(outs, in_dtypes))
 
 
 @partial(jax.custom_vjp, nondiff_argnums=(6, 7))
@@ -151,6 +298,8 @@ def _fwd(u, dt, A, B, C, D, block_b, reverse):
 
 def _bwd(block_b, reverse, res, g):
     u, dt, A, B, C, D = res
+    if jax.default_backend() == "tpu":
+        return _pallas_backward(u, dt, A, B, C, D, g, block_b, reverse)
     _, vjp = jax.vjp(partial(selective_scan, reverse=reverse),
                      u, dt, A, B, C, D)
     return vjp(g)
