@@ -349,3 +349,68 @@ def test_mft_forward_parity():
                        jnp.asarray(x2.transpose(0, 2, 3, 1)), train=False)
     np.testing.assert_allclose(np.asarray(j_out), _t2j(t_out),
                                rtol=1e-3, atol=1e-3)
+
+
+@pytest.mark.parametrize("mode", ["ViT", "CAF"])
+def test_spectralformer_forward_parity(mode):
+    """Band-token ViT incl. the CAF cross-layer skipcat conv
+    (ref: spectralformer.py:78-156)."""
+    import jax.numpy as jnp
+
+    from vit_cnn_tpu.models.spectralformer import SpectralFormer
+
+    ref = _load_ref("model/compare_method/spectralformer.py", "ref_sf")
+    rng = np.random.RandomState(5)
+    bands, bands2, K, B = 16, 1, 5, 4
+    N = bands + bands2
+    dim, depth, heads, dim_head, mlp = 32, 5, 4, 16, 8
+    net = ref.SpectralFormer(
+        image_size=1, near_band=1, num_patches=N, num_classes=K, dim=dim,
+        depth=depth, heads=heads, mlp_dim=mlp, dim_head=dim_head,
+        dropout=0.0, emb_dropout=0.0, mode=mode).eval()
+    sd = net.state_dict()
+
+    params = {
+        "patch_to_embedding": _lin(sd, "patch_to_embedding"),
+        "pos_embedding": _t2j(sd["pos_embedding"]),
+        "cls_token": _t2j(sd["cls_token"]),
+        "head_norm": {"scale": _t2j(sd["mlp_head.0.weight"]),
+                      "bias": _t2j(sd["mlp_head.0.bias"])},
+        "head": _lin(sd, "mlp_head.1"),
+    }
+    tr = {}
+    for l in range(depth):
+        pre = "transformer.layers.{}.".format(l)
+        tr["attn_norm{}".format(l)] = {
+            "scale": _t2j(sd[pre + "0.fn.norm.weight"]),
+            "bias": _t2j(sd[pre + "0.fn.norm.bias"])}
+        tr["attn{}".format(l)] = {
+            "to_qkv": {"kernel": _t2j(sd[pre + "0.fn.fn.to_qkv.weight"]).T},
+            "to_out": _lin(sd, pre + "0.fn.fn.to_out.0")}
+        tr["ff_norm{}".format(l)] = {
+            "scale": _t2j(sd[pre + "1.fn.norm.weight"]),
+            "bias": _t2j(sd[pre + "1.fn.norm.bias"])}
+        tr["ff{}".format(l)] = {
+            "Dense_0": _lin(sd, pre + "1.fn.fn.net.0"),
+            "Dense_1": _lin(sd, pre + "1.fn.fn.net.3")}
+    if mode == "CAF":
+        for i in range(depth - 2):
+            w = _t2j(sd["transformer.skipcat.{}.weight".format(i)])
+            tr["skipcat{}".format(i)] = w.reshape(w.shape[0], -1)
+            tr["skipcat{}_bias".format(i)] = _t2j(
+                sd["transformer.skipcat.{}.bias".format(i)])
+    params["transformer"] = tr
+
+    x1 = rng.randn(B, bands).astype("float32")
+    x2 = rng.randn(B, bands2).astype("float32")
+    with torch.no_grad():
+        t_out = net(torch.from_numpy(x1), torch.from_numpy(x2))
+
+    ours = SpectralFormer(num_patches=N, n_classes=K, dim=dim, depth=depth,
+                          heads=heads, dim_head=dim_head, mlp_dim=mlp,
+                          dropout=0.0, emb_dropout=0.0, mode=mode)
+    j_out = ours.apply({"params": params},
+                       jnp.asarray(x1)[:, None, None, :],
+                       jnp.asarray(x2)[:, None, None, :], train=False)
+    np.testing.assert_allclose(np.asarray(j_out), _t2j(t_out),
+                               rtol=1e-3, atol=1e-3)
