@@ -17,6 +17,15 @@ torch = pytest.importorskip("torch")
 
 
 def _load_ref(relpath, name):
+    import sys
+    import types
+
+    # stub dependencies the reference imports but never uses at runtime
+    for stub in ("torchsummary", "torchvision"):
+        if stub not in sys.modules:
+            mod = types.ModuleType(stub)
+            mod.summary = lambda *a, **k: None
+            sys.modules[stub] = mod
     spec = importlib.util.spec_from_file_location(
         name, os.path.join(REF, relpath))
     mod = importlib.util.module_from_spec(spec)
@@ -148,6 +157,84 @@ def test_early_fusion_cnn_forward_parity():
                        jnp.asarray(x2.transpose(0, 2, 3, 1)), train=False)
     np.testing.assert_allclose(np.asarray(j_out), _t2j(t_out),
                                rtol=1e-4, atol=1e-4)
+
+
+def test_middle_and_late_fusion_parity():
+    """The remaining two MDL-Hong variants (ref: DML_Hong.py:65-224)."""
+    import jax.numpy as jnp
+
+    from vit_cnn_tpu.models.mdl_hong import (Late_fusion_CNN,
+                                             Middle_fusion_CNN)
+
+    ref = _load_ref("model/compare_method/DML_Hong.py", "ref_dml3")
+    rng = np.random.RandomState(7)
+    bands, bands2, K, B, P = 9, 2, 5, 4, 7
+
+    def cbr(sd, conv_name, bn_name):
+        p, s = _bn(sd, bn_name)
+        return ({"Conv_0": _conv(sd, conv_name), "BatchNorm_0": p},
+                {"BatchNorm_0": s})
+
+    def stem(sd, suffix):
+        sp, ss = {}, {}
+        for i in range(4):
+            p, s = cbr(sd, "conv{}_{}".format(i + 1, suffix),
+                       "bn{}_{}".format(i + 1, suffix))
+            sp["ConvBNReLU_{}".format(i)] = p
+            ss["ConvBNReLU_{}".format(i)] = s
+        return sp, ss
+
+    x1 = rng.randn(B, bands, P, P).astype("float32")
+    x2 = rng.randn(B, bands2, P, P).astype("float32")
+    j1 = jnp.asarray(x1.transpose(0, 2, 3, 1))
+    j2 = jnp.asarray(x2.transpose(0, 2, 3, 1))
+
+    # ---- Middle fusion: two stems -> concat -> joint head
+    net = ref.Middle_fusion_CNN(bands, bands2, K).eval()
+    with torch.no_grad():
+        _randomize_bn_stats(net, rng)
+    sd = net.state_dict()
+    params, stats = {}, {}
+    params["stem_a"], stats["stem_a"] = stem(sd, "a")
+    params["stem_b"], stats["stem_b"] = stem(sd, "b")
+    head_p, head_s = {}, {}
+    for i, idx in enumerate((5, 6)):
+        p, s = cbr(sd, "conv{}".format(idx), "bn{}".format(idx))
+        head_p["ConvBNReLU_{}".format(i)] = p
+        head_s["ConvBNReLU_{}".format(i)] = s
+    w7 = _t2j(sd["conv7.weight"])[:, :, 0, 0]
+    head_p["Dense_0"] = {"kernel": w7.T, "bias": _t2j(sd["conv7.bias"])}
+    params["_JointHead_0"], stats["_JointHead_0"] = head_p, head_s
+    with torch.no_grad():
+        want = net(torch.from_numpy(x1), torch.from_numpy(x2))
+    got = Middle_fusion_CNN(n_bands1=bands, n_bands2=bands2, n_classes=K
+                            ).apply({"params": params, "batch_stats": stats},
+                                    j1, j2, train=False)
+    np.testing.assert_allclose(np.asarray(got), _t2j(want), rtol=1e-4,
+                               atol=1e-4)
+
+    # ---- Late fusion: two full towers -> logit-level concat head
+    net = ref.Late_fusion_CNN(bands, bands2, K).eval()
+    with torch.no_grad():
+        _randomize_bn_stats(net, rng)
+    sd = net.state_dict()
+    params, stats = {}, {}
+    for suf in ("a", "b"):
+        params["stem_" + suf], stats["stem_" + suf] = stem(sd, suf)
+        for i, idx in enumerate((5, 6)):
+            p, s = cbr(sd, "conv{}_{}".format(idx, suf),
+                       "bn{}_{}".format(idx, suf))
+            params["c{}_{}".format(idx, suf)] = p
+            stats["c{}_{}".format(idx, suf)] = s
+    w7 = _t2j(sd["conv7.weight"])[:, :, 0, 0]
+    params["Dense_0"] = {"kernel": w7.T, "bias": _t2j(sd["conv7.bias"])}
+    with torch.no_grad():
+        want = net(torch.from_numpy(x1), torch.from_numpy(x2))
+    got = Late_fusion_CNN(n_bands1=bands, n_bands2=bands2, n_classes=K
+                          ).apply({"params": params, "batch_stats": stats},
+                                  j1, j2, train=False)
+    np.testing.assert_allclose(np.asarray(got), _t2j(want), rtol=1e-4,
+                               atol=1e-4)
 
 
 def test_cross_fusion_cnn_forward_parity():
@@ -344,6 +431,83 @@ def test_mft_forward_parity():
 
     ours = MFT(patch_size=P, fm=FM, n_bands1=bands, n_bands2=bands2,
                n_classes=K)
+    j_out = ours.apply({"params": params, "batch_stats": stats},
+                       jnp.asarray(x1.transpose(0, 2, 3, 1)),
+                       jnp.asarray(x2.transpose(0, 2, 3, 1)), train=False)
+    np.testing.assert_allclose(np.asarray(j_out), _t2j(t_out),
+                               rtol=1e-3, atol=1e-3)
+
+
+def test_hctnet_forward_parity():
+    """Dual-stem + shared tokenization + cross-token fusion encoder
+    (ref: HCTnet.py:224-367). The reference's conv2d_features declares
+    in_channels=8 where its own 3D stem produces 8*(bands-2) — unrunnable
+    as shipped (QUIRKS.md #2); the test re-sizes that conv the way the
+    in-tree comment indicates, then transplants."""
+    import jax.numpy as jnp
+
+    from vit_cnn_tpu.models.hctnet import HCTnet
+
+    ref = _load_ref("model/compare_method/HCTnet.py", "ref_hct")
+    rng = np.random.RandomState(6)
+    bands, bands2, K, B, P = 10, 1, 5, 3, 11
+    net = ref.HCTnet(in_channels=bands2, num_classes=K).eval()
+    with torch.no_grad():
+        # repair the stem bug exactly as the working value in the
+        # reference's comment indicates (8 * (bands - 2) input channels)
+        net.conv2d_features[0] = torch.nn.Conv2d(8 * (bands - 2), 64, (3, 3))
+        net = net.eval()
+        _randomize_bn_stats(net, rng)
+    sd = net.state_dict()
+
+    def bnp(prefix):
+        return _bn(sd, prefix)
+
+    params, stats = {}, {}
+    params["conv3d"] = {
+        "kernel": _t2j(sd["conv3d_features.0.weight"]).transpose(2, 3, 4, 1, 0),
+        "bias": _t2j(sd["conv3d_features.0.bias"])}
+    params["bn3d"], stats["bn3d"] = bnp("conv3d_features.1")
+    params["conv2d"] = _conv(sd, "conv2d_features.0")
+    params["bn2d"], stats["bn2d"] = bnp("conv2d_features.1")
+    params["conv2d_l"] = _conv(sd, "conv2d_features2.0")
+    params["bn2d_l"], stats["bn2d_l"] = bnp("conv2d_features2.1")
+    params["token_wA"] = _t2j(sd["token_wA"])[0]
+    params["token_wV"] = _t2j(sd["token_wV"])[0]
+    params["cls_token"] = _t2j(sd["cls_token"])
+    params["pos_embedding"] = _t2j(sd["pos_embedding"])
+    params["head_norm"] = {"scale": _t2j(sd["mlp_head.0.weight"]),
+                           "bias": _t2j(sd["mlp_head.0.bias"])}
+    params["head"] = _lin(sd, "mlp_head.1")
+
+    for enc, name in (("0", "h_enc0"), ("1", "l_enc0")):
+        pre = "fusion_encoder.layers.0.{}.layers.0.".format(enc)
+        params[name] = {
+            "attn_norm0": {"scale": _t2j(sd[pre + "0.fn.norm.weight"]),
+                           "bias": _t2j(sd[pre + "0.fn.norm.bias"])},
+            "attn0": {"to_qkv": _lin(sd, pre + "0.fn.fn.to_qkv"),
+                      "nn1": _lin(sd, pre + "0.fn.fn.nn1")},
+            "mlp_norm0": {"scale": _t2j(sd[pre + "1.fn.norm.weight"]),
+                          "bias": _t2j(sd[pre + "1.fn.norm.bias"])},
+            "mlp0": {"Dense_0": _lin(sd, pre + "1.fn.fn.net.0"),
+                     "Dense_1": _lin(sd, pre + "1.fn.fn.net.3")},
+        }
+    for ct, norm_name, attn_name in (("0", "ct_h_norm0", "ct_h0"),
+                                     ("1", "ct_l_norm0", "ct_l0")):
+        pre = "fusion_encoder.layers.0.2.layers.0.{}.fn.".format(ct)
+        params[norm_name] = {"scale": _t2j(sd[pre + "norm.weight"]),
+                             "bias": _t2j(sd[pre + "norm.bias"])}
+        params[attn_name] = {
+            "to_q": {"kernel": _t2j(sd[pre + "fn.to_q.weight"]).T},
+            "to_kv": {"kernel": _t2j(sd[pre + "fn.to_kv.weight"]).T},
+            "to_out": _lin(sd, pre + "fn.to_out.0")}
+
+    x1 = rng.randn(B, bands, P, P).astype("float32")
+    x2 = rng.randn(B, bands2, P, P).astype("float32")
+    with torch.no_grad():
+        t_out = net(torch.from_numpy(x1), torch.from_numpy(x2))
+
+    ours = HCTnet(n_bands1=bands, n_bands2=bands2, n_classes=K)
     j_out = ours.apply({"params": params, "batch_stats": stats},
                        jnp.asarray(x1.transpose(0, 2, 3, 1)),
                        jnp.asarray(x2.transpose(0, 2, 3, 1)), train=False)

@@ -83,10 +83,10 @@ class _Transformer(nn.Module):
         for l in range(self.depth):
             x = x + _Attention(self.dim, self.heads, self.dropout,
                                name=f"attn{l}")(
-                nn.LayerNorm(name=f"attn_norm{l}")(x), train)
+                nn.LayerNorm(epsilon=1e-5, name=f"attn_norm{l}")(x), train)
             x = x + _MLPBlock(self.dim, self.mlp_dim, self.dropout,
                               name=f"mlp{l}")(
-                nn.LayerNorm(name=f"mlp_norm{l}")(x), train)
+                nn.LayerNorm(epsilon=1e-5, name=f"mlp_norm{l}")(x), train)
         return x
 
 
@@ -147,7 +147,9 @@ class HCTnet(nn.Module):
         x1 = BatchNorm(use_running_average=not train, name="bn3d")(x1)
         x1 = nn.relu(x1)
         d, s = x1.shape[1], x1.shape[2]
-        x1 = x1.transpose(0, 2, 3, 1, 4).reshape(b, s, s, d * 8)
+        # flatten (8, NC-2) depth-major, matching the reference's
+        # 'b c h w y -> b (c h) w y' channel order (ref: HCTnet.py:324)
+        x1 = x1.transpose(0, 2, 3, 4, 1).reshape(b, s, s, 8 * d)
         x1 = nn.Conv(64, (3, 3), padding="VALID", name="conv2d")(x1)
         x1 = BatchNorm(use_running_average=not train, name="bn2d")(x1)
         x1 = nn.relu(x1)
@@ -186,15 +188,15 @@ class HCTnet(nn.Module):
             l_cls, l_patch = x2[:, :1], x2[:, 1:]
             h_cls = h_cls + _CTAttention(
                 self.dim, self.heads, self.ct_attn_dim_head, self.dropout,
-                name=f"ct_h{l}")(nn.LayerNorm(name=f"ct_h_norm{l}")(h_cls),
+                name=f"ct_h{l}")(nn.LayerNorm(epsilon=1e-5, name=f"ct_h_norm{l}")(h_cls),
                                  l_patch, train)
             l_cls = l_cls + _CTAttention(
                 self.dim, self.heads, self.ct_attn_dim_head, self.dropout,
-                name=f"ct_l{l}")(nn.LayerNorm(name=f"ct_l_norm{l}")(l_cls),
+                name=f"ct_l{l}")(nn.LayerNorm(epsilon=1e-5, name=f"ct_l_norm{l}")(l_cls),
                                  h_patch, train)
             x1 = jnp.concatenate([h_cls, h_patch], axis=1)
             x2 = jnp.concatenate([l_cls, l_patch], axis=1)
 
-        head_norm = nn.LayerNorm(name="head_norm")
+        head_norm = nn.LayerNorm(epsilon=1e-5, name="head_norm")
         head = nn.Dense(self.n_classes, kernel_init=kaiming_in, name="head")
         return head(head_norm(x1[:, 0])) + head(head_norm(x2[:, 0]))

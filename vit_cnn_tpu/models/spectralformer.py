@@ -50,5 +50,5 @@ class SpectralFormer(nn.Module):
         x = ViTBackbone(self.dim, self.depth, self.heads, self.dim_head,
                         self.mlp_dim, self.dropout, self.mode,
                         num_tokens=n + 1, name="transformer")(x, train)
-        cls_out = nn.LayerNorm(name="head_norm")(x[:, 0])
+        cls_out = nn.LayerNorm(epsilon=1e-5, name="head_norm")(x[:, 0])
         return nn.Dense(self.n_classes, name="head")(cls_out)

@@ -93,8 +93,8 @@ class ViTBackbone(nn.Module):
             x = x + ViTAttention(self.dim, self.heads, self.dim_head,
                                  self.dropout,
                                  name=f"attn{l}")(
-                nn.LayerNorm(name=f"attn_norm{l}")(x), train)
+                nn.LayerNorm(epsilon=1e-5, name=f"attn_norm{l}")(x), train)
             x = x + FeedForward(self.dim, self.mlp_dim, self.dropout,
                                 name=f"ff{l}")(
-                nn.LayerNorm(name=f"ff_norm{l}")(x), train)
+                nn.LayerNorm(epsilon=1e-5, name=f"ff_norm{l}")(x), train)
         return x
