@@ -18,6 +18,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from ..nn.precision import cast_floating
 from ..pipeline.patches import PatchPipeline
 from .losses import LOSSES
 from .optim import OptimizerSpec, build_optimizer
@@ -105,24 +106,35 @@ class Trainer:
         pipeline = self.pipeline
         loss_fn = self.loss_fn
         class_weights = self.class_weights
+        bf16 = bool(self.hp.get("bf16", False))
 
         def step(state: TrainState, centers, valid, rng):
             data_key, dropout_key = jax.random.split(rng)
             p1, p2, labels = pipeline.make_batch(data_key, centers, train=True)
 
             def compute_loss(params):
-                variables = {"params": params}
+                # bf16 policy: compute in bf16, keep f32 master params /
+                # batch stats / loss (grads come out f32 via the cast's vjp)
+                variables = {"params": cast_floating(params, jnp.bfloat16)
+                             if bf16 else params}
                 mutable = []
                 if state.batch_stats:
                     variables["batch_stats"] = state.batch_stats
                     mutable = ["batch_stats"]
-                out = module.apply(variables, p1, p2, train=True,
+                x1, x2 = ((p1.astype(jnp.bfloat16), p2.astype(jnp.bfloat16))
+                          if bf16 else (p1, p2))
+                out = module.apply(variables, x1, x2, train=True,
                                    mutable=mutable,
                                    rngs={"dropout": dropout_key})
                 if mutable:
                     out, updates = out
+                    if bf16:
+                        updates = {"batch_stats": cast_floating(
+                            updates["batch_stats"], jnp.float32)}
                 else:
                     updates = {}
+                if bf16:
+                    out = cast_floating(out, jnp.float32)
                 loss = loss_fn(out, labels, class_weights, valid)
                 return loss, updates
 
