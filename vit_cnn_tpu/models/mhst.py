@@ -81,7 +81,10 @@ class _HSIEncoder(nn.Module):
         x = nn.relu(x)
 
         d = x.shape[1]
-        x = x.transpose(0, 2, 3, 1, 4).reshape(b, p, p, d * oc)
+        # flatten (oc, depth) channel-major, matching the reference's
+        # 'b c h w y -> b (c h) w y' order (ref: MHST.py:108) — conv4's
+        # grouped pyramid partitions these channels
+        x = x.transpose(0, 2, 3, 4, 1).reshape(b, p, p, oc * d)
         x = PyConv(self.out_channels_2d, (3, 5, 7, 9), (4, 4, 4, 4),
                    (1, 2, 4, 8), name="conv4")(x)
         x = BatchNorm(use_running_average=not train, name="bn4")(x)
@@ -148,7 +151,7 @@ class _PoolAttention(nn.Module):
                         use_bias=False, name=name)(r)
             r = r.reshape(b, h, hh * ww, hd)
             t = jnp.concatenate([cls_tok, r], axis=2)
-            return nn.LayerNorm(name=name + "_norm")(t)
+            return nn.LayerNorm(epsilon=1e-5, name=name + "_norm")(t)
 
         q = pool(q, "pool_q")
         k = pool(k, "pool_k")
@@ -194,10 +197,10 @@ class _StepPoolBlock(nn.Module):
         y = _PoolAttention(self.dim, self.num_heads, self.hw_shape,
                            self.qkv_bias, self.attn_drop, self.drop,
                            name="attn")(
-            nn.LayerNorm(name="norm1")(x), width_select, train)
+            nn.LayerNorm(epsilon=1e-5, name="norm1")(x), width_select, train)
         x = x + y
 
-        z = nn.LayerNorm(name="norm2")(x)
+        z = nn.LayerNorm(epsilon=1e-5, name="norm2")(x)
         if width_select is not None:
             z = z * width_select  # fc1 input mask
         z = nn.Dense(int(self.dim * self.mlp_ratio), name="fc1")(z)
@@ -227,7 +230,7 @@ class MHST(nn.Module):
     hsp_vit_num_heads: int = 16
     head_tau: float = 5.0
     use_head_select: bool = True
-    vit_qkv_bias: bool = False
+    vit_qkv_bias: bool = True      # reference default (HSPT qkv_bias=True)
     mlp_ratio: float = 4.0
     attnproj_mlp_drop: float = 0.1
     attn_drop: float = 0.1
@@ -258,7 +261,10 @@ class MHST(nn.Module):
                          (1, 1, dim))
         t = tokens + pos[:, 1:]
         t = jnp.concatenate(
-            [jnp.broadcast_to(cls, (b, 1, dim)) + pos[:, :1], t], axis=1)
+            [jnp.broadcast_to(cls, (b, 1, dim)), t], axis=1)
+        # the reference adds pos[0] to EVERY token, not just CLS
+        # (ref: MHST.py:302 `x += self.encoder_pos_embed[:, :1]`)
+        t = t + pos[:, :1]
         t = nn.Dropout(self.emb_dropout, deterministic=not train)(t)
 
         t = ViTBackbone(dim, self.en_depth, self.en_heads, self.dim_head,
@@ -271,10 +277,10 @@ class MHST(nn.Module):
                                self.vit_qkv_bias, self.mlp_ratio,
                                self.attnproj_mlp_drop, self.attn_drop,
                                name=f"hsp_block{i}")(t, train)
-        t = nn.LayerNorm(name="hsp_norm")(t)
+        t = nn.LayerNorm(epsilon=1e-5, name="hsp_norm")(t)
 
         # ViT head: softmax over classes (ref: MHST.py:311-312)
-        cls_out = nn.LayerNorm(name="head_norm")(t[:, 0])
+        cls_out = nn.LayerNorm(epsilon=1e-5, name="head_norm")(t[:, 0])
         vit_probs = nn.softmax(nn.Dense(self.n_classes, name="head")(cls_out))
 
         # CNN head: PyConv2 classifier on the token image (ref: MHST.py:122-148)
