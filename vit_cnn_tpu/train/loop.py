@@ -236,16 +236,18 @@ class Trainer:
             t0 = time.time()
             order = self.pipeline.epoch_order(self.np_rng)
             centers_all, valid_all = _pad_to_multiple(order, bs)
-            epoch_loss = 0.0
-            n_steps = 0
+            # losses stay on device inside the epoch: a float() per step
+            # would block async dispatch (step N+1's launch would serialize
+            # behind step N's completion on TPU); sync once per epoch
+            step_losses = []
             for i in range(0, len(centers_all), bs):
                 self.data_key, sub = jax.random.split(self.data_key)
                 centers = jnp.asarray(centers_all[i:i + bs])
                 valid = jnp.asarray(valid_all[i:i + bs])
                 self.state, loss = self._step(self.state, centers, valid, sub)
-                epoch_loss += float(loss)
-                n_steps += 1
-            avg_loss = epoch_loss / max(n_steps, 1)
+                step_losses.append(loss)
+            avg_loss = float(jnp.mean(jnp.stack(step_losses))) \
+                if step_losses else 0.0
             self.log.losses.append(avg_loss)
 
             if self.val_pipeline is not None:
