@@ -127,7 +127,10 @@ class GLTNet(nn.Module):
         cls = self.param("cls_token", nn.initializers.normal(1.0), (1, 1, dim))
         x = tokens + pos[:, 1:]
         x = jnp.concatenate(
-            [jnp.broadcast_to(cls, (b, 1, dim)) + pos[:, :1], x], axis=1)
+            [jnp.broadcast_to(cls, (b, 1, dim)), x], axis=1)
+        # the reference's `x += pos_embed[:, :1]` broadcasts the cls slot's
+        # embedding onto EVERY token, not just cls (ref: :364-368)
+        x = x + pos[:, :1]
         x = nn.Dropout(self.emb_dropout, deterministic=not train)(x)
         x_vit = ViTBackbone(dim, self.en_depth, self.en_heads, self.dim_head,
                             self.mlp_dim, self.dropout,

@@ -34,7 +34,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..ops.scan_paths import base_paths, inverse_permutation, path_orderings
+from ..ops.scan_paths import (base_paths, inverse_permutation,
+                              path_orderings, path_spec)
 from ..ops.selective_scan import selective_scan_auto
 
 
@@ -131,20 +132,46 @@ class MultiDirMambaLayer(nn.Module):
     use_bias: bool = False
     use_pallas: bool = True
 
+    def _shuffle_key(self):
+        """Per-call random permutation key (torch.randperm upstream draws
+        from the ambient RNG on every forward, train AND eval,
+        ref: :445,:950,:973). Uses the 'shuffle' rng stream when supplied;
+        falls back to a fixed key so eval without rngs stays runnable."""
+        if self.has_rng("shuffle"):
+            return self.make_rng("shuffle")
+        return jax.random.PRNGKey(0)
+
     @nn.compact
     def __call__(self, x):
         b, L, _ = x.shape
         d = self.intermediate_size
         n = self.state_size
         tsr = self.time_step_rank or math.ceil(self.hidden_size / 16)
+        spec = path_spec(self.path_type)
 
         orders, bases, fwd_dir, rev_dir = base_paths(self.path_type, L)
-        n_dir = len(orders)
-        nb = len(bases)
-        perms = jnp.asarray(np.stack([orders[i] for i in bases]))
-        inv_perms = jnp.asarray(np.stack(
-            [inverse_permutation(orders[i]) for i in bases]))
+        n_static = len(orders)
+        n_dir = n_static + spec.n_shuffle
         rev_rows = [i for i, r in enumerate(rev_dir) if r >= 0]
+
+        # static gather-once bases, plus dynamic shuffle streams appended
+        # as extra bases (their permutation is drawn per call)
+        perm_parts, inv_parts = [], []
+        if bases:
+            perm_parts.append(jnp.asarray(
+                np.stack([orders[i] for i in bases])))
+            inv_parts.append(jnp.asarray(
+                np.stack([inverse_permutation(orders[i]) for i in bases])))
+        for k in range(spec.n_shuffle):
+            sp = jax.random.permutation(self._shuffle_key(), L)
+            perm_parts.append(sp[None])
+            inv_parts.append(jnp.argsort(sp)[None])
+        perms = jnp.concatenate(perm_parts, axis=0)           # (nb, L)
+        inv_perms = jnp.concatenate(inv_parts, axis=0)
+        nb = len(bases) + spec.n_shuffle
+        # direction index served by each base's forward scan
+        fwd_dir_all = list(fwd_dir) + [n_static + k
+                                       for k in range(spec.n_shuffle)]
 
         proj = nn.Dense(2 * d, use_bias=self.use_bias, name="in_proj")(x)
         u, gate = jnp.split(proj, 2, axis=-1)                 # (B, L, d)
@@ -180,13 +207,7 @@ class MultiDirMambaLayer(nn.Module):
                                     use_pallas=self.use_pallas)
         y_fwd = y_fwd.reshape(nb, b, L, d)
 
-        # direction gate (softmax over all D directions, zeros-init)
-        gate_w = self.param("direction_gate", nn.initializers.zeros,
-                            (n_dir,))
-        w = nn.softmax(gate_w)
-
-        combined = y_fwd * w[jnp.asarray(fwd_dir)][:, None, None, None]
-
+        y_rev = None
         if rev_rows:
             # reverse twin: anti-causal conv (causal conv on the flipped
             # sequence, flipped back) + back-to-front scan on the SAME
@@ -199,6 +220,54 @@ class MultiDirMambaLayer(nn.Module):
                                         use_pallas=self.use_pallas,
                                         reverse=True)
             y_rev = y_rev.reshape(len(rev_rows), b, L, d)
+
+        out_proj = nn.Dense(self.hidden_size, use_bias=self.use_bias,
+                            name="out_proj")
+
+        if spec.combine == "dynamic":
+            # per-sample gate over restored streams ('forward_reverse_gate',
+            # ref: :936-947 — the only path using gate_layers). Token-means
+            # commute with the inverse permutation; out_proj is linear and
+            # bias-free, so the reference's "gate on full-mixer-output
+            # means" equals out_proj applied to the gated-value means.
+            restored = jnp.take_along_axis(
+                y_fwd, inv_perms[:, None, :, None], axis=2)
+            dirs = jnp.zeros((n_dir, b, L, d), y_fwd.dtype)
+            dirs = dirs.at[jnp.asarray(fwd_dir_all)].set(restored)
+            if y_rev is not None:
+                restored_rev = jnp.take_along_axis(
+                    y_rev, inv_perms[jnp.asarray(rev_rows)][:, None, :, None],
+                    axis=2)
+                dirs = dirs.at[jnp.asarray(
+                    [rev_dir[i] for i in rev_rows])].set(restored_rev)
+            g = dirs * nn.silu(gate)[None]                    # (n_dir,B,L,d)
+            means = out_proj(g.mean(axis=2))                  # (n_dir,B,h)
+            gate_in = jnp.concatenate(
+                [means[i] for i in range(n_dir)], axis=-1)    # (B,n_dir*h)
+            dyn = nn.softmax(nn.Dense(n_dir, use_bias=False,
+                                      name="gate")(gate_in))  # (B,n_dir)
+            y = jnp.einsum("nbld,bn->bld", g, dyn)
+            return out_proj(y)
+
+        if spec.combine == "softmax10":
+            # the reference's self.weights is ALWAYS a 10-slot parameter
+            # softmaxed over all 10 slots, of which the first n_dir are
+            # used (ref: :360 + :607/:700/:970)
+            gate_w = self.param("direction_gate", nn.initializers.zeros,
+                                (10,))
+            w = nn.softmax(gate_w)[:n_dir]
+        elif spec.combine == "raw10":
+            # eight_directions_gate applies NO softmax (ref: :514-515)
+            gate_w = self.param("direction_gate", nn.initializers.zeros,
+                                (10,))
+            w = gate_w[:n_dir]
+        elif spec.combine == "mean":
+            w = jnp.full((n_dir,), 1.0 / n_dir)
+        else:                                                 # 'none'
+            w = jnp.ones((n_dir,))
+
+        combined = y_fwd * w[jnp.asarray(fwd_dir_all)][:, None, None, None]
+        if y_rev is not None:
             w_rev = w[jnp.asarray([rev_dir[i] for i in rev_rows])]
             combined = combined.at[jnp.asarray(rev_rows)].add(
                 y_rev * w_rev[:, None, None, None])
@@ -209,17 +278,51 @@ class MultiDirMambaLayer(nn.Module):
         y = jnp.sum(unscattered, axis=0)                      # (B, L, d)
 
         y = y * nn.silu(gate)
-        return nn.Dense(self.hidden_size, use_bias=self.use_bias,
-                        name="out_proj")(y)
+        return out_proj(y)
+
+
+def sincos_2d_position_embedding(h: int, w: int, embed_dims: int,
+                                 temperature: float = 10000.0) -> np.ndarray:
+    """Fixed 2D sine-cosine position embedding, replicating
+    ref: mmpretrain/models/utils/position_encoding.py:123-173 exactly
+    (including its 'ij' meshgrid over (w, h), i.e. the w index varies
+    slowest in the flattened token order)."""
+    assert embed_dims % 4 == 0, "embed dims must be divisible by 4"
+    grid_w, grid_h = np.meshgrid(np.arange(w, dtype=np.float32),
+                                 np.arange(h, dtype=np.float32),
+                                 indexing="ij")
+    pos_dim = embed_dims // 4
+    omega = 1.0 / temperature ** (
+        np.arange(pos_dim, dtype=np.float32) / pos_dim)
+    out_w = grid_w.reshape(-1)[:, None] * omega[None]
+    out_h = grid_h.reshape(-1)[:, None] * omega[None]
+    return np.concatenate([np.sin(out_w), np.cos(out_w),
+                           np.sin(out_h), np.cos(out_h)],
+                          axis=1)[None].astype(np.float32)
 
 
 class DirectionalMambaBackbone(nn.Module):
-    """Token backbone: 1x1-conv patch embed + learnable pos embed + layers of
+    """Token backbone: 1x1-conv patch embed + pos embed + layers of
     (multi-directional gathers -> shared pre-LN + MambaMixer -> inverse
-    gathers -> learned softmax gate over directions) + residual + final LN.
+    gathers -> gated direction combine) + residual + final LN.
 
-    out_type 'featmap' returns (B, H, W, C); 'avg_featmap' mean-pools tokens
-    through a second LN (ref: :992-1032).
+    The full hsiMamba capability surface (ref: :176-1032):
+
+    * ``path_type``: every string the reference's forward accepts —
+      'forward', 'shuffle', '{81,49}_2+8', 'eight_directions_gate',
+      '{81,49,25,9}twoclock', 'forward_reverse_{mean,gate,shuffle_gate,
+      shuffle_mean}' — plus 'multi_clock_gate' (the CLI's dead default,
+      which matches NO branch upstream: the layer body is skipped and the
+      residual add doubles the tokens; replicated, see QUIRKS.md).
+    * ``pe_type``: 'learnable' (trunc-normal 0.02, ref: :377-378), 'sine'
+      (fixed 2D sincos, ref: :287-293), or 'none'.
+    * ``cls_position``: 'none' | 'head' | 'tail' | 'head_tail' | 'middle'
+      (ref: :424-436; zeros-init token(s), 2 for head_tail). Grid path
+      types require a square token count, so cls tokens combine only with
+      the sequence-order paths — same constraint as upstream.
+    * ``out_type``: 'featmap' (B,H,W,C) | 'avg_featmap' (LN'd token mean) |
+      'cls_token' (by cls_position; head_tail averages both ends) | 'raw'
+      (ref: :992-1032).
     """
 
     embed_dims: int
@@ -229,6 +332,8 @@ class DirectionalMambaBackbone(nn.Module):
     in_channels: int
     path_type: str = "81_2+8"
     out_type: str = "featmap"
+    pe_type: str = "learnable"
+    cls_position: str = "none"
     drop_rate: float = 0.0
     use_pallas: bool = True
 
@@ -239,30 +344,89 @@ class DirectionalMambaBackbone(nn.Module):
         x = nn.Conv(self.embed_dims, (1, 1), use_bias=False,
                     name="patch_embed")(x)
         tokens = x.reshape(b, h * w, self.embed_dims)
-        L = h * w
 
-        pos = self.param("pos_embed",
-                         nn.initializers.truncated_normal(0.02),
-                         (1, L, self.embed_dims))
-        tokens = tokens + pos
+        n_extra = {"none": 0, "head": 1, "tail": 1, "middle": 1,
+                   "head_tail": 2}[self.cls_position]
+        if n_extra:
+            cls = self.param("cls_token", nn.initializers.zeros,
+                             (1, n_extra, self.embed_dims))
+            cls = jnp.broadcast_to(cls, (b, n_extra, self.embed_dims))
+            if self.cls_position == "head":
+                tokens = jnp.concatenate([cls, tokens], axis=1)
+            elif self.cls_position == "tail":
+                tokens = jnp.concatenate([tokens, cls], axis=1)
+            elif self.cls_position == "head_tail":
+                tokens = jnp.concatenate([cls[:, :1], tokens, cls[:, 1:]],
+                                         axis=1)
+            else:                                              # middle
+                half = tokens.shape[1] // 2
+                tokens = jnp.concatenate(
+                    [tokens[:, :half], cls, tokens[:, half:]], axis=1)
+        L = tokens.shape[1]
+
+        if self.pe_type == "learnable":
+            pos = self.param("pos_embed",
+                             nn.initializers.truncated_normal(0.02),
+                             (1, L, self.embed_dims))
+            tokens = tokens + pos
+        elif self.pe_type == "sine":
+            # fixed, non-learned (ref: :287-293; cls extension is a TODO
+            # upstream, so sine requires cls_position='none' — same here)
+            assert n_extra == 0, "sine pos embed does not support cls tokens"
+            tokens = tokens + jnp.asarray(
+                sincos_2d_position_embedding(h, w, self.embed_dims))
         tokens = nn.Dropout(self.drop_rate, deterministic=not train)(tokens)
 
+        identity = path_spec(self.path_type).identity
         for i in range(self.num_layers):
             residual = tokens
-            # pre-LN hoisted before the directional gathers (LN is
-            # per-token, so it commutes with every permutation)
-            normed = nn.LayerNorm(epsilon=1e-6, name=f"pre_norm{i}")(tokens)
-            mixed = MultiDirMambaLayer(
-                self.embed_dims, self.feedforward_channels,
-                path_type=self.path_type, use_pallas=self.use_pallas,
-                name=f"mixer{i}")(normed)
-            tokens = residual + mixed
+            if identity:
+                # 'multi_clock_gate' matches no scan branch upstream: the
+                # pre-norm/mixer are skipped and x = residual + x doubles
+                # the tokens (ref: :441-987 fall-through + :987)
+                tokens = residual + tokens
+            else:
+                # pre-LN hoisted before the directional gathers (LN is
+                # per-token, so it commutes with every permutation)
+                normed = nn.LayerNorm(epsilon=1e-6,
+                                      name=f"pre_norm{i}")(tokens)
+                mixed = MultiDirMambaLayer(
+                    self.embed_dims, self.feedforward_channels,
+                    path_type=self.path_type, use_pallas=self.use_pallas,
+                    name=f"mixer{i}")(normed)
+                tokens = residual + mixed
             if i == self.num_layers - 1:
                 tokens = nn.LayerNorm(epsilon=1e-6, name="ln1")(tokens)
 
+        if self.out_type == "raw":
+            return tokens        # cls tokens included (ref: :993-994)
+
+        if self.out_type == "cls_token":
+            # ref: _format_output :995-1003
+            if self.cls_position == "head":
+                return tokens[:, 0]
+            if self.cls_position == "tail":
+                return tokens[:, -1]
+            if self.cls_position == "head_tail":
+                return (tokens[:, 0] + tokens[:, -1]) / 2
+            if self.cls_position == "middle":
+                return tokens[:, tokens.shape[1] // 2]
+            raise ValueError("out_type=cls_token requires a cls_position")
+
+        # strip cls tokens from patch-token outputs (ref: :1005-1016)
+        if n_extra:
+            if self.cls_position == "head":
+                tokens = tokens[:, 1:]
+            elif self.cls_position == "tail":
+                tokens = tokens[:, :-1]
+            elif self.cls_position == "head_tail":
+                tokens = tokens[:, 1:-1]
+            else:                                              # middle
+                half = tokens.shape[1] // 2
+                tokens = jnp.concatenate(
+                    [tokens[:, :half], tokens[:, half + 1:]], axis=1)
+
         if self.out_type == "featmap":
             return tokens.reshape(b, h, w, self.embed_dims)
-        if self.out_type == "avg_featmap":
-            return nn.LayerNorm(epsilon=1e-6,
-                                name="ln2")(tokens.mean(axis=1))
-        return tokens  # raw
+        assert self.out_type == "avg_featmap"
+        return nn.LayerNorm(epsilon=1e-6, name="ln2")(tokens.mean(axis=1))

@@ -23,6 +23,7 @@ Orderings (square grid of side n, row-major token ids):
 
 from __future__ import annotations
 
+import dataclasses
 from functools import lru_cache
 from typing import List
 
@@ -103,17 +104,39 @@ def spiral_ccw(n: int) -> np.ndarray:
     return np.array(idx)
 
 
+#: path types whose orderings are sequence-generic (no grid geometry) —
+#: they work for any token count, including cls-extended sequences
+#: (ref: :444-449, :929-981 all index with ``x.size(1)``).
+SEQUENCE_PATHS = frozenset({
+    "forward", "shuffle", "forward_reverse_mean", "forward_reverse_gate",
+    "forward_reverse_shuffle_gate", "forward_reverse_shuffle_mean",
+})
+
+
 @lru_cache(maxsize=None)
 def path_orderings(path_type: str, num_tokens: int) -> List[np.ndarray]:
-    """List of token orderings for one of the reference's path types.
+    """List of STATIC token orderings for one of the reference's path types
+    (dynamic shuffle streams are described by :func:`path_spec`, not here).
 
     '{L}_2+8' -> 10 orderings: horizontal fwd/rev, boustrophedon-vertical
     fwd/rev, zigzag / reversed, mirrored zigzag / reversed, spirals cw/ccw
     (ref: Mutimodality_Mamba7.py:608-701).
     'eight_directions_gate' -> 8: horizontal, col-major, plain diagonals,
     each fwd/rev (ref: :454-515).
-    '{L}twoclock' -> the two spirals (ref: :516-607).
+    '{L}twoclock' -> the two spirals (ref: :516-607); '9twoclock' has its
+    cw/acw tables SWAPPED in the reference (ref: :901-903) — replicated.
+    'forward*'/'shuffle' -> sequence-order paths, any token count.
     """
+    if path_type == "forward":
+        return [np.arange(num_tokens)]
+    if path_type == "shuffle":
+        return []                       # single dynamic stream (path_spec)
+    if path_type in ("forward_reverse_mean", "forward_reverse_gate",
+                     "forward_reverse_shuffle_gate",
+                     "forward_reverse_shuffle_mean"):
+        f = np.arange(num_tokens)
+        return [f, f[::-1].copy()]
+
     n = int(round(num_tokens ** 0.5))
     assert n * n == num_tokens, "token count must be a square grid"
 
@@ -131,11 +154,68 @@ def path_orderings(path_type: str, num_tokens: int) -> List[np.ndarray]:
         return [row_major(n), row_major(n)[::-1].copy(), vf,
                 vf[::-1].copy(), df, df[::-1].copy(), dm, dm[::-1].copy()]
     if path_type.endswith("twoclock"):
+        if path_type == "9twoclock":
+            # the reference's 3x3 tables label the anticlockwise spiral
+            # "cw" and vice versa (ref: :901-903) — replicated verbatim
+            return [spiral_ccw(n), spiral_cw(n)]
         return [spiral_cw(n), spiral_ccw(n)]
-    if path_type in ("forward_reverse_mean", "forward_reverse_gate"):
-        return [row_major(n), row_major(n)[::-1].copy()]
+    raise ValueError("unknown path type {}".format(path_type))
+
+
+@dataclasses.dataclass(frozen=True)
+class PathSpec:
+    """How a path type's streams are produced and combined.
+
+    ``combine`` replicates the reference's per-path gate semantics exactly
+    (each is a distinct literal branch upstream):
+
+    * ``softmax10`` — learned (10,)-slot weights, softmaxed over ALL 10
+      slots, first n_dir used. '_2+8' uses all 10 (ref: :700); twoclock
+      uses 2 of 10 -> 0.1-weight sum at init (ref: :607); shuffle_gate
+      uses 3 of 10 (ref: :970).
+    * ``raw10`` — the same 10-slot weights WITHOUT softmax
+      ('eight_directions_gate', ref: :514-515 — zeros-init, so the mixed
+      stream starts at 0 and the block is pure-residual at init).
+    * ``dynamic`` — per-sample gate: Linear(n_dir*hidden -> n_dir, no bias)
+      + softmax over the token-means of the restored streams
+      ('forward_reverse_gate', the only path using gate_layers,
+      ref: :936-947).
+    * ``mean`` — arithmetic mean ('forward_reverse_mean' /2 ref: :935,
+      'forward_reverse_shuffle_mean' /3 ref: :985).
+    * ``none`` — single stream, unit weight ('forward', 'shuffle').
+
+    ``n_shuffle`` dynamic random-permutation streams (torch.randperm
+    upstream, ref: :445, :950, :973) are appended after the static
+    orderings. ``identity`` marks 'multi_clock_gate', the CLI's dead
+    default: it matches NO branch upstream, so the layer body is skipped
+    and the residual add doubles the tokens (ref: :303 + :987).
+    """
+
+    combine: str
+    n_shuffle: int = 0
+    identity: bool = False
+
+
+@lru_cache(maxsize=None)
+def path_spec(path_type: str) -> PathSpec:
+    if path_type == "multi_clock_gate":
+        return PathSpec(combine="none", identity=True)
     if path_type == "forward":
-        return [row_major(n)]
+        return PathSpec(combine="none")
+    if path_type == "shuffle":
+        return PathSpec(combine="none", n_shuffle=1)
+    if path_type == "forward_reverse_mean":
+        return PathSpec(combine="mean")
+    if path_type == "forward_reverse_gate":
+        return PathSpec(combine="dynamic")
+    if path_type == "forward_reverse_shuffle_gate":
+        return PathSpec(combine="softmax10", n_shuffle=1)
+    if path_type == "forward_reverse_shuffle_mean":
+        return PathSpec(combine="mean", n_shuffle=1)
+    if path_type == "eight_directions_gate":
+        return PathSpec(combine="raw10")
+    if path_type.endswith("twoclock") or path_type.endswith("_2+8"):
+        return PathSpec(combine="softmax10")
     raise ValueError("unknown path type {}".format(path_type))
 
 
