@@ -85,3 +85,50 @@ bench(lambda a: tl.apply(vt, a, False), x7, label="TokenLearner 49 (B,7,7,256)")
 nl = NonLocalBlock2D(256)
 vn = nl.init({"params": key}, x7[:2], x7[:2], x7[:2], False)
 bench(lambda a: nl.apply(vn, a, a, a, False), x7, label="NonLocal (B,7,7,256)")
+
+# 8) block_b / bf16 sweeps for the scan kernel
+for blk in (8, 16, 32, 64, 128):
+    try:
+        bench(lambda *a, _b=blk: selective_scan_pallas(*a, _b),
+              u, dt_, A, Bm, Cm, D, label=f"pallas scan blk{blk}")
+    except Exception as e:
+        print(f"blk{blk} failed: {e!r}")
+ub = u.astype(jnp.bfloat16)
+dtb = dt_.astype(jnp.bfloat16)
+Bb = Bm.astype(jnp.bfloat16)
+Cb = Cm.astype(jnp.bfloat16)
+for blk in (8, 32, 64):
+    bench(lambda *a, _b=blk: selective_scan_pallas(*a, _b),
+          ub, dtb, A, Bb, Cb, D, label=f"pallas scan bf16 blk{blk}")
+
+# 9) scene gather + scatter alone (identity model): bounds the fullscene
+#    machinery outside the network
+from vit_cnn_tpu.infer.fullscene import _chunk_scatter, sliding_window_origins
+H, W, BANDS, CLASSES, PATCH = 349, 1905, 144, 15, 9
+rngnp = np.random.RandomState(0)
+scene1 = jnp.asarray(rngnp.rand(H, W, BANDS).astype(np.float32))
+scene2 = jnp.asarray(rngnp.rand(H, W, 1).astype(np.float32))
+probs0 = jnp.zeros((H, W, CLASSES), jnp.float32)
+origins = sliding_window_origins(H, W, PATCH, 1)
+o = jnp.asarray(origins[:B]); vld = jnp.ones(B, jnp.float32)
+
+def ident_apply(variables, p1, p2, train=False):
+    return jnp.sum(p1, axis=(1, 2))[:, :CLASSES] + jnp.sum(p2, axis=(1, 2))
+
+t0 = time.time()
+pr = _chunk_scatter(probs0, scene1, scene2, o, vld, {}, patch_size=PATCH,
+                    apply_fn=ident_apply)
+_ = float(jnp.sum(pr))
+t0 = time.time()
+for _i in range(8):
+    pr = _chunk_scatter(pr, scene1, scene2, o, vld, {}, patch_size=PATCH,
+                        apply_fn=ident_apply)
+_ = float(jnp.sum(pr))
+print("%-42s %8.2f ms" % ("gather+identity+scatter (chunk 4096)",
+                          (time.time() - t0) / 8 * 1e3), flush=True)
+
+# 10) full flagship fwd in bf16 (the serving config)
+from vit_cnn_tpu.nn.precision import bf16_apply
+apply_bf16 = bf16_apply(m.apply)
+bench(lambda a, b: apply_bf16(v, a, b, train=False), h9, l9,
+      label="full flagship fwd bf16 (B=4096)")

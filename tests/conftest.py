@@ -19,6 +19,13 @@ import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
 
+# persistent compile cache: CPU jit of the big models (flagship, MHST)
+# dominates suite wall time; cache compiled programs across runs
+_cache_dir = os.path.expanduser("~/.cache/vct_jax_cache_cpu")
+os.makedirs(_cache_dir, exist_ok=True)
+jax.config.update("jax_compilation_cache_dir", _cache_dir)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)
+
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 
