@@ -50,8 +50,7 @@ def measure_ours(img1, img2):
     import jax
     import jax.numpy as jnp
 
-    from vit_cnn_tpu.infer.fullscene import (_bf16_cached, _chunk_scatter,
-                                             sliding_window_origins)
+    from vit_cnn_tpu.infer.fullscene import _band_scatter, _bf16_cached
     from vit_cnn_tpu.models.mm_mamba import MultimodalityMamba
 
     module = MultimodalityMamba(img_size=PATCH, in_channels1=BANDS,
@@ -66,20 +65,25 @@ def measure_ours(img1, img2):
     scene1 = jnp.asarray(img1)
     scene2 = jnp.asarray(img2)
     probs = jnp.zeros((H, W, CLASSES), jnp.float32)
-    origins = sliding_window_origins(H, W, PATCH, 1)
-    log("total windows:", len(origins))
 
-    # serving config: bf16 forward, f32 scatter-add accumulation
-    # (VCT_BENCH_BF16=0 opts out)
+    # stride-1 row-band path (the serving configuration of
+    # infer/fullscene.py): ROWS scene rows of windows per device program
+    rows = int(os.environ.get("VCT_BENCH_ROWS", "4"))
+    wc = W - PATCH + 1                       # 1897 windows per row
+    n_bands = min((H - PATCH + 1) // rows, BENCH_CHUNKS * CHUNK
+                  // (rows * wc))
+    log("total windows:", (H - PATCH + 1) * wc,
+        "| band rows:", rows, "| bands timed:", n_bands)
+
+    # serving config: bf16 forward, f32 accumulation (VCT_BENCH_BF16=0
+    # opts out)
     apply_fn = module.apply
     if os.environ.get("VCT_BENCH_BF16", "1") != "0":
         apply_fn = _bf16_cached(module.apply)
 
-    def run_chunk(probs, i):
-        o = jnp.asarray(origins[i:i + CHUNK])
-        v = jnp.ones(len(o), jnp.float32)
-        return _chunk_scatter(probs, scene1, scene2, o, v, variables,
-                              patch_size=PATCH, apply_fn=apply_fn)
+    def run_band(probs, x0):
+        return _band_scatter(probs, scene1, scene2, x0, variables,
+                             rows=rows, patch_size=PATCH, apply_fn=apply_fn)
 
     def materialize(x):
         # NOTE: on the tunneled TPU backend block_until_ready() returns
@@ -89,18 +93,75 @@ def measure_ours(img1, img2):
 
     # warmup/compile
     t0 = time.time()
-    probs = run_chunk(probs, 0)
+    probs = run_band(probs, 0)
     materialize(probs)
-    log("compile+first chunk: {:.1f}s".format(time.time() - t0))
+    log("compile+first band: {:.1f}s".format(time.time() - t0))
 
     t0 = time.time()
-    for k in range(1, 1 + BENCH_CHUNKS):
-        probs = run_chunk(probs, k * CHUNK)
+    for k in range(1, 1 + n_bands):
+        probs = run_band(probs, k * rows)
     materialize(probs)
     dt = time.time() - t0
-    rate = BENCH_CHUNKS * CHUNK / dt
-    log("ours: {:.0f} patches/sec/chip ({} chunks in {:.2f}s)".format(
-        rate, BENCH_CHUNKS, dt))
+    rate = n_bands * rows * wc / dt
+    log("ours: {:.0f} patches/sec/chip ({} bands in {:.2f}s)".format(
+        rate, n_bands, dt))
+    return rate
+
+
+def measure_train_ours(img1, img2, batch_size=1024, budget_s=6.0):
+    """Training throughput (patches/s/chip) of the flagship: gather +
+    augment + fwd/bwd + AdamW update as ONE jitted program per batch
+    (the reference's other hot loop, ref: model_utils.py:854-1045).
+
+    batch_size 1024 saturates the chip; the reference's torch-CPU loop
+    uses its default 64 (bigger batches do not help a CPU that is already
+    compute-bound — measured in perf/measure_ref_baseline.py)."""
+    import jax
+    import jax.numpy as jnp
+
+    from vit_cnn_tpu.models.registry import get_model
+    from vit_cnn_tpu.pipeline.patches import AugmentConfig, PatchPipeline
+    from vit_cnn_tpu.train.loop import Trainer
+
+    rng = np.random.RandomState(0)
+    gt = rng.randint(1, CLASSES, size=(H, W)).astype(np.int32)
+    module, _, hp = get_model(
+        "Multimodality_Mamba", dataset="Synthetic", n_classes=CLASSES,
+        n_bands=(BANDS, 1), ignored_labels=[0], patch_size=PATCH,
+        batch_size=batch_size, epoch=1, bf16=True, flip_augmentation=True)
+    pipeline = PatchPipeline(
+        img1, img2, gt, patch_size=PATCH, ignored_labels=[0],
+        n_classes=CLASSES, augment=AugmentConfig(flip=True),
+        supervision="full")
+    trainer = Trainer(module, hp, pipeline, val_pipeline=None,
+                      save_checkpoints=False)
+
+    order = pipeline.epoch_order(trainer.np_rng)
+    centers = jnp.asarray(order[:batch_size])
+    valid = jnp.ones(batch_size, jnp.float32)
+
+    def one_step():
+        trainer.data_key, sub = jax.random.split(trainer.data_key)
+        trainer.state, loss = trainer._step(trainer.state, centers,
+                                            valid, sub, trainer._arrays)
+        return loss
+
+    t0 = time.time()
+    loss = one_step()
+    _ = float(loss)  # host fetch = completion barrier (see materialize)
+    log("train compile+first step: {:.1f}s".format(time.time() - t0))
+
+    steps = 0
+    t0 = time.time()
+    while time.time() - t0 < budget_s:
+        loss = one_step()
+        steps += 1
+    _ = float(loss)
+    dt = time.time() - t0
+    rate = steps * batch_size / dt
+    log("ours train: {:.0f} patches/sec/chip ({} steps of {} in "
+        "{:.2f}s, final loss {:.4f})".format(rate, steps, batch_size, dt,
+                                             float(loss)))
     return rate
 
 
@@ -184,12 +245,40 @@ def measure_torch_baseline(img1, img2, budget_s=30.0):
 def main():
     img1, img2 = synthetic_scene()
     ours = measure_ours(img1, img2)
+    train_ours = measure_train_ours(img1, img2)
     base = measure_torch_baseline(img1, img2)
+
+    # measured numbers for the ACTUAL reference flagship on torch CPU
+    # (perf/measure_ref_baseline.py writes them into bench_baseline.json);
+    # vs_baseline anchors on the real model when available, else the
+    # FLOPs-matched stand-in
+    ref = {}
+    if os.path.exists(BASELINE_FILE):
+        with open(BASELINE_FILE) as f:
+            ref = json.load(f)
+    infer_base = ref.get("reference_model_infer_patches_per_sec", base)
+    train_base = ref.get("reference_model_train_patches_per_sec")
+
+    # secondary metric (train throughput) rides stderr so stdout keeps the
+    # single-JSON-line contract; the driver's tail records both
+    log(json.dumps({
+        "metric": "houston2013_flagship_train_step",
+        "value": round(train_ours, 1),
+        "unit": "patches/sec/chip",
+        "vs_baseline": round(train_ours / train_base, 2)
+        if train_base else None,
+    }))
     print(json.dumps({
         "metric": "houston2013_fullscene_flagship_inference",
         "value": round(ours, 1),
         "unit": "patches/sec/chip",
-        "vs_baseline": round(ours / base, 2),
+        "vs_baseline": round(ours / infer_base, 2),
+        "extra": {
+            "train_patches_per_sec_chip": round(train_ours, 1),
+            "train_vs_torch_cpu_reference": round(train_ours / train_base, 2)
+            if train_base else None,
+            "infer_vs_flops_matched_standin": round(ours / base, 2),
+        },
     }))
 
 

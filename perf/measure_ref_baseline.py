@@ -30,9 +30,14 @@ BASELINE_FILE = os.path.join(os.path.dirname(__file__), "..",
 def main():
     import torch
 
-    from ref_harness import load_reference
+    from ref_harness import load_reference, neutralize_cuda
 
     _, r_datasets, r_mu = load_reference()
+
+    # the reference flagship hardcodes CUDA placements in forward
+    # (Mutimodality_Mamba7.py:60) — map them to CPU for the whole
+    # measurement (process exits at the end; no need to restore)
+    neutralize_cuda().__enter__()
 
     rng = np.random.RandomState(0)
     img1 = rng.rand(64, 64, BANDS).astype(np.float32)   # loops never finish

@@ -56,11 +56,10 @@ A = -jnp.abs(jax.random.normal(key, (72, 16)))
 Bm = jax.random.normal(key, (10 * B, 81, 16))
 Cm = jax.random.normal(key, (10 * B, 81, 16))
 D = jnp.ones((72,))
-bench(lambda *a: selective_scan_pallas(*a, 8), u, dt_, A, Bm, Cm, D,
-      label="pallas scan (40960, 81, 72) blk8")
-bench(lambda *a: selective_scan_pallas(*a, 64), u, dt_, A, Bm, Cm, D,
-      label="pallas scan blk64")
-bench(selective_scan, u, dt_, A, Bm, Cm, D, label="assoc scan (40960, 81, 72)")
+bench(lambda *a: selective_scan_pallas(*a), u, dt_, A, Bm, Cm, D,
+      label="pallas scan (40960, 81, 72) lane-major")
+# assoc scan at the widened batch OOMs HBM (materializes (40960,81,72,16)
+# f32 temporaries, 14.2G each — measured 2026-08-16); skipped.
 
 # 5) depthwise causal conv alone
 dw = nn.Conv(72, (4,), padding=[(3, 0)], feature_group_count=72)
@@ -86,20 +85,13 @@ nl = NonLocalBlock2D(256)
 vn = nl.init({"params": key}, x7[:2], x7[:2], x7[:2], False)
 bench(lambda a: nl.apply(vn, a, a, a, False), x7, label="NonLocal (B,7,7,256)")
 
-# 8) block_b / bf16 sweeps for the scan kernel
-for blk in (8, 16, 32, 64, 128):
-    try:
-        bench(lambda *a, _b=blk: selective_scan_pallas(*a, _b),
-              u, dt_, A, Bm, Cm, D, label=f"pallas scan blk{blk}")
-    except Exception as e:
-        print(f"blk{blk} failed: {e!r}")
+# 8) bf16 scan (serving config)
 ub = u.astype(jnp.bfloat16)
 dtb = dt_.astype(jnp.bfloat16)
 Bb = Bm.astype(jnp.bfloat16)
 Cb = Cm.astype(jnp.bfloat16)
-for blk in (8, 32, 64):
-    bench(lambda *a, _b=blk: selective_scan_pallas(*a, _b),
-          ub, dtb, A, Bb, Cb, D, label=f"pallas scan bf16 blk{blk}")
+bench(lambda *a: selective_scan_pallas(*a),
+      ub, dtb, A, Bb, Cb, D, label="pallas scan bf16 lane-major")
 
 # 9) scene gather + scatter alone (identity model): bounds the fullscene
 #    machinery outside the network

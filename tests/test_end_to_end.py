@@ -97,3 +97,67 @@ def test_checkpoint_roundtrip(trained, tmp_path):
                __import__("jax").tree_util.tree_leaves(loaded)]
     for a, b in zip(leaves1, leaves2):
         np.testing.assert_array_equal(a, b)
+
+
+def test_band_path_matches_generic_origins_path(trained):
+    """The stride-1 row-band fast path (infer/fullscene.py:_band_scatter_fn)
+    must produce the identical probability map as the generic per-origin
+    chunked path, including the untouched border rows/cols and the
+    row-remainder padding (40 - 1 + 1 = 40 origin rows vs band rows that do
+    not divide them)."""
+    import jax.numpy as jnp
+
+    from vit_cnn_tpu.infer.fullscene import (_band_scatter, _chunk_scatter,
+                                             sliding_window_origins)
+
+    module, best, trainer, hp, (img1, img2, _, _) = trained
+    p = int(hp["patch_size"])
+    h, w = img1.shape[:2]
+    k = 5
+
+    scene1 = jnp.asarray(img1, jnp.float32)
+    scene2 = jnp.asarray(img2, jnp.float32)
+
+    # generic path, one chunk per call
+    origins = sliding_window_origins(h, w, p, 1)
+    probs_g = jnp.zeros((h, w, k), jnp.float32)
+    for i in range(0, len(origins), 256):
+        o = jnp.asarray(origins[i:i + 256])
+        v = jnp.ones(len(o), jnp.float32)
+        probs_g = _chunk_scatter(probs_g, scene1, scene2, o, v, best,
+                                 patch_size=p, apply_fn=module.apply)
+
+    # band path with rows=7 (does NOT divide the 40 origin rows -> padding)
+    rows, total = 7, h - p + 1
+    t_pad = -total % rows
+    z1 = jnp.zeros((t_pad, w, scene1.shape[-1]), jnp.float32)
+    z2 = jnp.zeros((t_pad, w, scene2.shape[-1]), jnp.float32)
+    s1p = jnp.concatenate([scene1, z1], axis=0)
+    s2p = jnp.concatenate([scene2, z2], axis=0)
+    probs_b = jnp.zeros((h + t_pad, w, k), jnp.float32)
+    for x0 in range(0, total + t_pad, rows):
+        probs_b = _band_scatter(probs_b, s1p, s2p, x0, best,
+                                rows=rows, patch_size=p,
+                                apply_fn=module.apply)
+
+    np.testing.assert_allclose(np.asarray(probs_b[:h]),
+                               np.asarray(probs_g), rtol=1e-5, atol=1e-5)
+
+
+def test_band_patches_match_window_gather_patch9():
+    """band_patches (im2col by static shifts) must equal the per-origin
+    window gather for a full row-band at patch 9."""
+    import jax.numpy as jnp
+
+    from vit_cnn_tpu.infer.fullscene import band_patches, gather_windows
+
+    rng = np.random.RandomState(3)
+    p, rows, w, c = 9, 3, 21, 4
+    band = jnp.asarray(rng.rand(rows + p - 1, w, c).astype(np.float32))
+    got = band_patches(band, rows, p)
+
+    wc = w - p + 1
+    origins = np.array([(r, j) for r in range(rows) for j in range(wc)],
+                       np.int32)
+    want = gather_windows(band, jnp.asarray(origins), p)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(want))

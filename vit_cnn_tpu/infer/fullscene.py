@@ -40,17 +40,21 @@ def sliding_window_origins(h: int, w: int, patch_size: int,
     return np.stack([xx, yy], axis=1).astype(np.int32)
 
 
+def gather_windows(img, origins, patch_size: int):
+    """(N, P, P, C) windows via one advanced-indexing gather — one gather
+    HLO with C-contiguous rows; 2.1x faster than a vmapped
+    ``lax.dynamic_slice`` (perf/gather_sweep.py, ROOFLINE.md)."""
+    di = jnp.arange(patch_size)
+    r = origins[:, 0, None, None] + di[None, :, None]
+    c = origins[:, 1, None, None] + di[None, None, :]
+    return img[r, c]
+
+
 def _chunk_scatter_fn(probs, scene1, scene2, origins, valid, variables,
                       patch_size: int, apply_fn):
     """Gather a chunk of windows, run the model, scatter-add into probs."""
-
-    def gather(img, origin):
-        return jax.lax.dynamic_slice(
-            img, (origin[0], origin[1], 0),
-            (patch_size, patch_size, img.shape[-1]))
-
-    p1 = jax.vmap(partial(gather, scene1))(origins)
-    p2 = jax.vmap(partial(gather, scene2))(origins)
+    p1 = gather_windows(scene1, origins, patch_size)
+    p2 = gather_windows(scene2, origins, patch_size)
     out = apply_fn(variables, p1, p2, train=False)
     logits = out[0] if isinstance(out, tuple) else out
     logits = logits * valid[:, None]
@@ -61,6 +65,55 @@ def _chunk_scatter_fn(probs, scene1, scene2, origins, valid, variables,
 
 _chunk_scatter = jax.jit(_chunk_scatter_fn,
                          static_argnames=("patch_size", "apply_fn"))
+
+
+# ---------------------------------------------------------------------------
+# Stride-1 fast path: row-band chunks.
+#
+# At test_stride=1 (the reference default) the window origins are ALL
+# (H-P+1) x (W-P+1) positions, row-major. Processing whole rows of origins
+# at once turns the window gather into P*P contiguous static slices of a
+# P-1-row-taller band (im2col by shifts — ~10x less gather cost than
+# per-window indexing) and the center-pixel scatter-add into one contiguous
+# dynamic-update-slice add (no scatter HLO at all). Measured in
+# perf/gather_sweep.py / ROOFLINE.md. Border behavior is IDENTICAL to the
+# generic path: border pixels receive no probability mass
+# (ref: model_utils.py:1127-1131 semantics).
+# ---------------------------------------------------------------------------
+
+def band_patches(band, rows: int, patch_size: int):
+    """(rows * Wc, P, P, C) windows of a (rows+P-1, W, C) band via P*P
+    static slices; Wc = W - P + 1."""
+    p = patch_size
+    wc = band.shape[1] - p + 1
+    parts = [band[i:i + rows, j:j + wc]
+             for i in range(p) for j in range(p)]        # each (rows, Wc, C)
+    stacked = jnp.stack(parts, axis=2)                   # (rows, Wc, P*P, C)
+    return stacked.reshape(rows * wc, p, p, band.shape[-1])
+
+
+def _band_scatter_fn(probs, scene1, scene2, x0, variables,
+                     rows: int, patch_size: int, apply_fn):
+    """One row-band: gather by shifts, forward, contiguous accumulate."""
+    p = patch_size
+    w = scene1.shape[1]
+    wc = w - p + 1
+    band1 = jax.lax.dynamic_slice(
+        scene1, (x0, 0, 0), (rows + p - 1, w, scene1.shape[-1]))
+    band2 = jax.lax.dynamic_slice(
+        scene2, (x0, 0, 0), (rows + p - 1, w, scene2.shape[-1]))
+    out = apply_fn(variables, band_patches(band1, rows, p),
+                   band_patches(band2, rows, p), train=False)
+    logits = out[0] if isinstance(out, tuple) else out
+    block = logits.reshape(rows, wc, -1).astype(probs.dtype)
+    cur = jax.lax.dynamic_slice(
+        probs, (x0 + p // 2, p // 2, 0), (rows, wc, probs.shape[-1]))
+    return jax.lax.dynamic_update_slice(
+        probs, cur + block, (x0 + p // 2, p // 2, 0))
+
+
+_band_scatter = jax.jit(_band_scatter_fn,
+                        static_argnames=("rows", "patch_size", "apply_fn"))
 
 _BF16_WRAPPERS: Dict = {}
 
@@ -115,6 +168,30 @@ def full_scene_probabilities(module, variables, img1: np.ndarray,
     scene2 = jnp.asarray(img2, jnp.float32)
     probs = jnp.zeros((h, w, n_classes), jnp.float32)
 
+    apply_fn0 = module.apply
+    if hyperparams.get("bf16"):
+        apply_fn0 = _bf16_cached(apply_fn0)
+
+    if step == 1 and mesh is None:
+        # stride-1 fast path: row-band chunks (see _band_scatter_fn)
+        p = patch_size
+        total = h - p + 1                      # origin rows
+        rows = max(1, min(total, chunk // max(w - p + 1, 1)))
+        t_pad = -total % rows
+        if t_pad:
+            z1 = jnp.zeros((t_pad, w, scene1.shape[-1]), scene1.dtype)
+            z2 = jnp.zeros((t_pad, w, scene2.shape[-1]), scene2.dtype)
+            scene1p = jnp.concatenate([scene1, z1], axis=0)
+            scene2p = jnp.concatenate([scene2, z2], axis=0)
+            probs = jnp.zeros((h + t_pad, w, n_classes), jnp.float32)
+        else:
+            scene1p, scene2p = scene1, scene2
+        for x0 in range(0, total + t_pad, rows):
+            probs = _band_scatter(probs, scene1p, scene2p, x0, variables,
+                                  rows=rows, patch_size=p,
+                                  apply_fn=apply_fn0)
+        return np.asarray(probs[:h])
+
     origins = sliding_window_origins(h, w, patch_size, step)
     n = len(origins)
     rem = (-n) % chunk
@@ -123,9 +200,7 @@ def full_scene_probabilities(module, variables, img1: np.ndarray,
     valid = np.concatenate([np.ones(n, np.float32),
                             np.zeros(rem, np.float32)])
 
-    apply_fn = module.apply
-    if hyperparams.get("bf16"):
-        apply_fn = _bf16_cached(apply_fn)
+    apply_fn = apply_fn0
     if mesh is not None:
         step_fn = _sharded_chunk_scatter(mesh, patch_size, apply_fn)
         run = lambda *a: step_fn(*a)

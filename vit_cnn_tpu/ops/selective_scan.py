@@ -9,10 +9,12 @@ Python slow path) — ref: Mutimodality_Mamba7.py:16,326. Here:
   y_t = C_t . h_t + D u_t. Differentiable, fully parallel over the token
   axis (log2(L) steps), XLA-fused.
 * :func:`selective_scan_pallas` — a Pallas TPU kernel doing the sequential
-  scan in VMEM with a (block, state, channel) register layout, wrapped in a
-  ``jax.custom_vjp`` whose backward runs the associative-scan formulation.
-  For the tiny sequences here (49/81 tokens) the sequential kernel avoids
-  the O(L) temporary blowup of the associative scan at large batch.
+  scan in VMEM with a LANE-MAJOR (seq, channel, batch-on-lanes) layout
+  (see perf/ROOFLINE.md for the measured layout comparison), wrapped in a
+  ``jax.custom_vjp`` with a fused Pallas backward. For the tiny sequences
+  here (49/81 tokens) the sequential kernel avoids the O(L) temporary
+  blowup of the associative scan at large batch (14.2 GB per temporary at
+  the widened flagship chunk — it OOMs HBM outright).
 
 Shapes (d = intermediate channels, n = state size):
   u, dt: (batch, L, d);  A: (d, n);  B, C: (batch, L, n);  D: (d,)
@@ -56,58 +58,60 @@ def selective_scan(u, dt, A, B, C, D, reverse: bool = False):
 # ---------------------------------------------------------------------------
 
 def _scan_kernel(u_ref, dt_ref, At_ref, b_ref, c_ref, d_ref, y_ref,
-                 time_chunk: int = 16, reverse: bool = False):
-    """One grid cell scans `bb` sequences.
+                 time_chunk: int = 8, reverse: bool = False):
+    """One grid cell scans `bb` sequences in a LANE-MAJOR layout.
 
-    Performance shape (this kernel was 2/3 of flagship inference before
-    tuning): the transcendental exp() and all input-dependent products are
-    hoisted out of the sequential loop and computed as one vectorized op
-    per time chunk; the recurrence itself is two fused multiply-adds per
-    step on a register-resident (bb, n, d) state (fori_loop carry, no VMEM
-    scratch round-trip). Time is processed in chunks so the precomputed
-    (bb, Tc, n, d) tensors stay within scoped VMEM.
+    Performance shape (measured in perf/scan_sweep.py, see perf/ROOFLINE.md):
+    blocks are (L, d, bb) / (L, n, bb) with **bb = 128 sequences on the
+    128-lane axis** and d on sublanes (72 = 9x8 and 128 = 16x8 tile
+    exactly), so every elementwise op runs at full VPU width — 3.9x faster
+    than the round-1 (bb=8, Tc, n, d) layout, which wasted lanes (d=72 ->
+    56%) and scattered work over 16x more grid cells. The transcendental
+    exp() and all input-dependent products are hoisted out of the
+    sequential loop and vectorized per time chunk; the recurrence itself is
+    one fused multiply-add per step on the (n, d, bb) state. Accumulation
+    is f32 even when inputs stream in bf16 (bf16 state feedback diverges
+    over L steps).
     """
-    bb, L, d = u_ref.shape
-    n = b_ref.shape[-1]
-    # accumulate in f32 even under a bf16 compute policy; only the y store
-    # drops back to the input dtype
+    L, d, bb = u_ref.shape
+    n = b_ref.shape[1]
     At = At_ref[...].astype(jnp.float32)   # (n, d): A.T for the (n, d) layout
     Dv = d_ref[...].astype(jnp.float32)    # (1, d)
 
-    h0 = jnp.zeros((bb, n, d), jnp.float32)
+    h = jnp.zeros((n, d, bb), jnp.float32)
     n_chunks = (L + time_chunk - 1) // time_chunk
     chunk_order = range(n_chunks - 1, -1, -1) if reverse else range(n_chunks)
 
-    h = h0
     for c in chunk_order:                          # static unroll over chunks
         t0 = c * time_chunk
         tc = min(time_chunk, L - t0)
-        dt_c = dt_ref[:, t0:t0 + tc, :].astype(jnp.float32)   # (bb, Tc, d)
-        u_c = u_ref[:, t0:t0 + tc, :].astype(jnp.float32)
-        B_c = b_ref[:, t0:t0 + tc, :].astype(jnp.float32)     # (bb, Tc, n)
-        C_c = c_ref[:, t0:t0 + tc, :].astype(jnp.float32)
+        dt_c = dt_ref[t0:t0 + tc].astype(jnp.float32)         # (Tc, d, bb)
+        u_c = u_ref[t0:t0 + tc].astype(jnp.float32)
+        B_c = b_ref[t0:t0 + tc].astype(jnp.float32)           # (Tc, n, bb)
+        C_c = c_ref[t0:t0 + tc].astype(jnp.float32)
         # vectorized across the whole chunk: one exp, one product tree
-        dA_c = jnp.exp(dt_c[:, :, None, :] * At[None, None])  # (bb, Tc, n, d)
-        dBu_c = (dt_c * u_c)[:, :, None, :] * B_c[..., None]
-        du_c = Dv * u_c                                       # (bb, Tc, d)
+        dA_c = jnp.exp(dt_c[:, None] * At[None, :, :, None])  # (Tc, n, d, bb)
+        dBu_c = (dt_c * u_c)[:, None] * B_c[:, :, None, :]
 
-        # sequential part is ONLY the 2-op state update; everything else
+        # sequential part is ONLY the 1-FMA state update; everything else
         # (the C-projection reduce and the y store) batches over the chunk
         hs = [None] * tc
         steps = range(tc - 1, -1, -1) if reverse else range(tc)
         for t in steps:                            # static unroll in-chunk
-            h = dA_c[:, t] * h + dBu_c[:, t]
+            h = dA_c[t] * h + dBu_c[t]
             hs[t] = h
-        H_c = jnp.stack(hs, axis=1)                # (bb, Tc, n, d)
-        y_c = jnp.sum(C_c[..., None] * H_c, axis=2) + du_c
-        y_ref[:, t0:t0 + tc, :] = y_c.astype(y_ref.dtype)
+        H_c = jnp.stack(hs, axis=0)                # (Tc, n, d, bb)
+        y_c = jnp.sum(C_c[:, :, None, :] * H_c, axis=1) \
+            + Dv[..., None] * u_c
+        y_ref[t0:t0 + tc] = y_c.astype(y_ref.dtype)
 
 
 def _pallas_forward(u, dt, A, B, C, D, block_b: int, reverse: bool = False):
     # Sequence inputs stream into the kernel in their own dtype (bf16 under
     # the mixed-precision policy — half the HBM traffic); the kernel widens
-    # each chunk to f32 on load, because bf16 state feedback diverges over
-    # L steps. A/D are tiny and always f32.
+    # each chunk to f32 on load. A/D are tiny and always f32. The (b, L, ch)
+    # -> (L, ch, b) transposes in/out are plain XLA copies; at the flagship
+    # batch they cost far less than the lane-utilization win (ROOFLINE.md).
     A = A.astype(jnp.float32)
     D = D.astype(jnp.float32)
     b, L, d = u.shape
@@ -118,16 +122,18 @@ def _pallas_forward(u, dt, A, B, C, D, block_b: int, reverse: bool = False):
             [x, jnp.zeros((pad,) + x.shape[1:], x.dtype)], axis=0)
         u, dt, B, C = z(u), z(dt), z(B), z(C)
     bt = u.shape[0]
+    tp = lambda x: jnp.transpose(x, (1, 2, 0))
+    u, dt, B, C = tp(u), tp(dt), tp(B), tp(C)
 
     grid = (bt // block_b,)
-    seq_spec = lambda ch: pl.BlockSpec((block_b, L, ch),
-                                       lambda i: (i, 0, 0),
+    seq_spec = lambda ch: pl.BlockSpec((L, ch, block_b),
+                                       lambda i: (0, 0, i),
                                        memory_space=pltpu.VMEM)
     y = pl.pallas_call(
         partial(_scan_kernel, reverse=reverse),
         grid=grid,
         compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=96 * 1024 * 1024),
+            vmem_limit_bytes=100 * 1024 * 1024),
         in_specs=[
             seq_spec(d), seq_spec(d),
             pl.BlockSpec((n, d), lambda i: (0, 0), memory_space=pltpu.VMEM),
@@ -135,9 +141,9 @@ def _pallas_forward(u, dt, A, B, C, D, block_b: int, reverse: bool = False):
             pl.BlockSpec((1, d), lambda i: (0, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=seq_spec(d),
-        out_shape=jax.ShapeDtypeStruct((bt, L, d), u.dtype),
+        out_shape=jax.ShapeDtypeStruct((L, d, bt), u.dtype),
     )(u, dt, A.T, B, C, D[None])
-    return y[:b]
+    return jnp.transpose(y, (2, 0, 1))[:b]
 
 
 # ---------------------------------------------------------------------------
@@ -154,9 +160,18 @@ def _pallas_forward(u, dt, A, B, C, D, block_b: int, reverse: bool = False):
 
 def _scan_bwd_kernel(u_ref, dt_ref, At_ref, b_ref, c_ref, d_ref, g_ref,
                      du_ref, ddt_ref, db_ref, dc_ref, dA_ref, dD_ref,
-                     time_chunk: int = 16, reverse: bool = False):
-    bb, L, d = u_ref.shape
-    n = b_ref.shape[-1]
+                     time_chunk: int = 4, reverse: bool = False):
+    """Lane-major adjoint kernel: same (L, ch, bb) layout as the forward
+    (batch on the 128-lane axis), state/adjoint carried as (n, d, bb).
+
+    time_chunk is 4 (not the forward's 8): the adjoint holds ~5 live
+    (Tc, n, d, bb) f32 temporaries across its two sweeps and Mosaic does
+    not reuse scoped buffers across the statically-unrolled chunk
+    iterations — Tc=8 overflows VMEM (204M of 128M) at the flagship's
+    widened train shapes, Tc=4 fits and times identically to Tc=2
+    (perf/bwd_sweep.py, 2026-08-16: stage1 9.8 ms, stage2 8.0 ms)."""
+    L, d, bb = u_ref.shape
+    n = b_ref.shape[1]
     At = At_ref[...].astype(jnp.float32)            # (n, d)
     Dv = d_ref[...].astype(jnp.float32)             # (1, d)
 
@@ -171,40 +186,40 @@ def _scan_bwd_kernel(u_ref, dt_ref, At_ref, b_ref, c_ref, d_ref, g_ref,
         fwd_chunks = fwd_chunks[::-1]
 
     def load(ref, t0, tc):
-        return ref[:, t0:t0 + tc, :].astype(jnp.float32)
+        return ref[t0:t0 + tc].astype(jnp.float32)
 
     def chunk_steps(tc):
         return range(tc - 1, -1, -1) if reverse else range(tc)
 
     # ---- sweep 1: boundary states before each chunk (scan direction) ----
-    h = jnp.zeros((bb, n, d), jnp.float32)
+    h = jnp.zeros((n, d, bb), jnp.float32)
     bounds = {}
     for c in fwd_chunks:
         t0 = c * time_chunk
         tc = min(time_chunk, L - t0)
         bounds[c] = h
-        dt_c = load(dt_ref, t0, tc)
-        dA_c = jnp.exp(dt_c[:, :, None, :] * At[None, None])
-        dBu_c = (dt_c * load(u_ref, t0, tc))[:, :, None, :] \
-            * load(b_ref, t0, tc)[..., None]
+        dt_c = load(dt_ref, t0, tc)                           # (Tc, d, bb)
+        dA_c = jnp.exp(dt_c[:, None] * At[None, :, :, None])  # (Tc, n, d, bb)
+        dBu_c = (dt_c * load(u_ref, t0, tc))[:, None] \
+            * load(b_ref, t0, tc)[:, :, None, :]
         for t in chunk_steps(tc):
-            h = dA_c[:, t] * h + dBu_c[:, t]
+            h = dA_c[t] * h + dBu_c[t]
 
     # ---- sweep 2: adjoint, chunks in anti-scan order ----
-    lam = jnp.zeros((bb, n, d), jnp.float32)
-    dA_next = jnp.zeros((bb, n, d), jnp.float32)    # dA_{t+1}; zero past end
+    lam = jnp.zeros((n, d, bb), jnp.float32)
+    dA_next = jnp.zeros((n, d, bb), jnp.float32)    # dA_{t+1}; zero past end
     dA_total = jnp.zeros((n, d), jnp.float32)
     dD_total = jnp.zeros((1, d), jnp.float32)
     for c in reversed(fwd_chunks):
         t0 = c * time_chunk
         tc = min(time_chunk, L - t0)
-        u_c = load(u_ref, t0, tc)
+        u_c = load(u_ref, t0, tc)                             # (Tc, d, bb)
         dt_c = load(dt_ref, t0, tc)
-        B_c = load(b_ref, t0, tc)
+        B_c = load(b_ref, t0, tc)                             # (Tc, n, bb)
         C_c = load(c_ref, t0, tc)
-        g_c = load(g_ref, t0, tc)
-        dA_c = jnp.exp(dt_c[:, :, None, :] * At[None, None])
-        dBu_c = (dt_c * u_c)[:, :, None, :] * B_c[..., None]
+        g_c = load(g_ref, t0, tc)                             # (Tc, d, bb)
+        dA_c = jnp.exp(dt_c[:, None] * At[None, :, :, None])
+        dBu_c = (dt_c * u_c)[:, None] * B_c[:, :, None, :]
 
         # recompute h trajectory through the chunk
         h = bounds[c]
@@ -212,33 +227,33 @@ def _scan_bwd_kernel(u_ref, dt_ref, At_ref, b_ref, c_ref, d_ref, g_ref,
         hs = [None] * tc
         for t in chunk_steps(tc):
             hs_prev[t] = h
-            h = dA_c[:, t] * h + dBu_c[:, t]
+            h = dA_c[t] * h + dBu_c[t]
             hs[t] = h
-        Hp_c = jnp.stack(hs_prev, axis=1)           # h before step t
-        H_c = jnp.stack(hs, axis=1)                 # h after step t
+        Hp_c = jnp.stack(hs_prev, axis=0)           # h before step t
+        H_c = jnp.stack(hs, axis=0)                 # h after step t
 
         # adjoint recurrence through the chunk (anti-scan order)
         lams = [None] * tc
         adj_steps = (range(tc) if reverse else range(tc - 1, -1, -1))
         for t in adj_steps:
-            cg = C_c[:, t][..., None] * g_c[:, t][:, None, :]
+            cg = C_c[t][:, None, :] * g_c[t][None, :, :]      # (n, d, bb)
             lam = cg + dA_next * lam
-            dA_next = dA_c[:, t]
+            dA_next = dA_c[t]
             lams[t] = lam
-        Lam_c = jnp.stack(lams, axis=1)             # (bb, Tc, n, d)
+        Lam_c = jnp.stack(lams, axis=0)             # (Tc, n, d, bb)
 
         ddA_c = Lam_c * Hp_c
-        S_c = jnp.sum(Lam_c * B_c[..., None], axis=2)           # (bb, Tc, d)
-        T_c = jnp.sum(ddA_c * dA_c * At[None, None], axis=2)
-        ddt_ref[:, t0:t0 + tc, :] = (T_c + u_c * S_c).astype(ddt_ref.dtype)
-        du_ref[:, t0:t0 + tc, :] = (dt_c * S_c + Dv * g_c).astype(
+        S_c = jnp.sum(Lam_c * B_c[:, :, None, :], axis=1)     # (Tc, d, bb)
+        T_c = jnp.sum(ddA_c * dA_c * At[None, :, :, None], axis=1)
+        ddt_ref[t0:t0 + tc] = (T_c + u_c * S_c).astype(ddt_ref.dtype)
+        du_ref[t0:t0 + tc] = (dt_c * S_c + Dv[..., None] * g_c).astype(
             du_ref.dtype)
-        db_ref[:, t0:t0 + tc, :] = jnp.sum(
-            Lam_c * (dt_c * u_c)[:, :, None, :], axis=3).astype(db_ref.dtype)
-        dc_ref[:, t0:t0 + tc, :] = jnp.sum(
-            H_c * g_c[:, :, None, :], axis=3).astype(dc_ref.dtype)
-        dA_total += jnp.sum(ddA_c * dA_c * dt_c[:, :, None, :], axis=(0, 1))
-        dD_total += jnp.sum(g_c * u_c, axis=(0, 1))[None]
+        db_ref[t0:t0 + tc] = jnp.sum(
+            Lam_c * (dt_c * u_c)[:, None], axis=2).astype(db_ref.dtype)
+        dc_ref[t0:t0 + tc] = jnp.sum(
+            H_c * g_c[:, None], axis=2).astype(dc_ref.dtype)
+        dA_total += jnp.sum(ddA_c * dA_c * dt_c[:, None], axis=(0, 3))
+        dD_total += jnp.sum(g_c * u_c, axis=(0, 2))[None]
 
     dA_ref[...] += dA_total
     dD_ref[...] += dD_total
@@ -258,9 +273,11 @@ def _pallas_backward(u, dt, A, B, C, D, g, block_b: int,
             [x, jnp.zeros((pad,) + x.shape[1:], x.dtype)], axis=0)
         u, dt, B, C, g = z(u), z(dt), z(B), z(C), z(g)
     bt = u.shape[0]
+    tp = lambda x: jnp.transpose(x, (1, 2, 0))
+    u, dt, B, C, g = tp(u), tp(dt), tp(B), tp(C), tp(g)
 
-    seq_spec = lambda ch: pl.BlockSpec((block_b, L, ch),
-                                       lambda i: (i, 0, 0),
+    seq_spec = lambda ch: pl.BlockSpec((L, ch, block_b),
+                                       lambda i: (0, 0, i),
                                        memory_space=pltpu.VMEM)
     fix_spec = lambda s: pl.BlockSpec(s, lambda i: (0,) * len(s),
                                       memory_space=pltpu.VMEM)
@@ -269,24 +286,25 @@ def _pallas_backward(u, dt, A, B, C, D, g, block_b: int,
         partial(_scan_bwd_kernel, reverse=reverse),
         grid=(bt // block_b,),
         compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=96 * 1024 * 1024),
+            vmem_limit_bytes=100 * 1024 * 1024),
         in_specs=[seq_spec(d), seq_spec(d), fix_spec((n, d)), seq_spec(n),
                   seq_spec(n), fix_spec((1, d)), seq_spec(d)],
         out_specs=[seq_spec(d), seq_spec(d), seq_spec(n), seq_spec(n),
                    fix_spec((n, d)), fix_spec((1, d))],
-        out_shape=[jax.ShapeDtypeStruct((bt, L, d), f32),
-                   jax.ShapeDtypeStruct((bt, L, d), f32),
-                   jax.ShapeDtypeStruct((bt, L, n), f32),
-                   jax.ShapeDtypeStruct((bt, L, n), f32),
+        out_shape=[jax.ShapeDtypeStruct((L, d, bt), f32),
+                   jax.ShapeDtypeStruct((L, d, bt), f32),
+                   jax.ShapeDtypeStruct((L, n, bt), f32),
+                   jax.ShapeDtypeStruct((L, n, bt), f32),
                    jax.ShapeDtypeStruct((n, d), f32),
                    jax.ShapeDtypeStruct((1, d), f32)],
     )(u, dt, A.T, B, C, D[None], g)
-    outs = (du[:b], ddt[:b], dA.T, dB[:b], dC[:b], dD[0])
+    bk = lambda x: jnp.transpose(x, (2, 0, 1))[:b]
+    outs = (bk(du), bk(ddt), dA.T, bk(dB), bk(dC), dD[0])
     return tuple(o.astype(t) for o, t in zip(outs, in_dtypes))
 
 
 @partial(jax.custom_vjp, nondiff_argnums=(6, 7))
-def selective_scan_pallas(u, dt, A, B, C, D, block_b: int = 8,
+def selective_scan_pallas(u, dt, A, B, C, D, block_b: int = 128,
                           reverse: bool = False):
     return _pallas_forward(u, dt, A, B, C, D, block_b, reverse)
 
@@ -309,7 +327,7 @@ selective_scan_pallas.defvjp(_fwd, _bwd)
 
 
 def selective_scan_auto(u, dt, A, B, C, D, use_pallas: bool = True,
-                        block_b: int = 8, reverse: bool = False):
+                        block_b: int = 128, reverse: bool = False):
     """Pallas kernel on TPU, associative scan elsewhere (CPU tests)."""
     if use_pallas and jax.default_backend() == "tpu":
         return selective_scan_pallas(u, dt, A, B, C, D, block_b, reverse)

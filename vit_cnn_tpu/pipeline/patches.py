@@ -80,15 +80,15 @@ def build_class_index_table(gt: np.ndarray, indices: np.ndarray,
 def gather_patches(img: jnp.ndarray, centers: jnp.ndarray,
                    patch_size: int) -> jnp.ndarray:
     """Gather (B, P, P, C) patches around (B, 2) centers from an (H, W, C)
-    scene. Centers must be valid interior pixels (no clamping surprises)."""
+    scene. Centers must be valid interior pixels (no clamping surprises).
+
+    One advanced-indexing gather HLO (C-contiguous rows) — 2.1x faster on
+    TPU than a vmapped ``lax.dynamic_slice`` (perf/gather_sweep.py)."""
     p = patch_size // 2
-
-    def one(center):
-        start = (center[0] - p, center[1] - p, 0)
-        return jax.lax.dynamic_slice(
-            img, start, (patch_size, patch_size, img.shape[-1]))
-
-    return jax.vmap(one)(centers)
+    di = jnp.arange(patch_size) - p
+    r = centers[:, 0, None, None] + di[None, :, None]
+    c = centers[:, 1, None, None] + di[None, None, :]
+    return img[r, c]
 
 
 def _geom_apply(arr: jnp.ndarray, code: jnp.ndarray) -> jnp.ndarray:
@@ -263,22 +263,33 @@ class PatchPipeline:
         perm = rng.permutation(len(self.indices))
         return self.indices[perm]
 
+    def device_arrays(self):
+        """The large device rasters, to be passed as RUNTIME ARGUMENTS to
+        jitted programs (never closed over: some backends embed closure
+        constants into the shipped executable — a 383 MB Houston scene as
+        an inline constant breaks remote compilation and bloats any
+        compile cache)."""
+        return {"scene1": self.scene1, "scene2": self.scene2, "gt": self.gt}
+
     def make_batch(self, key: jax.Array, centers: jnp.ndarray,
-                   train: bool = True):
-        """Gather + augment one batch. Call inside jit.
+                   train: bool = True, arrays: Optional[dict] = None):
+        """Gather + augment one batch. Call inside jit; pass
+        ``arrays=device_arrays()`` through the jit boundary so the scene
+        rasters stay runtime arguments.
 
         Returns (hsi_patches, lidar_patches, center_labels).
         Patch-1 pipelines still return (B,1,1,C); models squeeze.
         """
+        a = arrays if arrays is not None else self.device_arrays()
         p = self.patch_size
-        p1 = gather_patches(self.scene1, centers, p)
-        p2 = gather_patches(self.scene2, centers, p)
-        lp = gather_patches(self.gt[..., None], centers, p)[..., 0]
+        p1 = gather_patches(a["scene1"], centers, p)
+        p2 = gather_patches(a["scene2"], centers, p)
+        lp = gather_patches(a["gt"][..., None], centers, p)[..., 0]
 
         if train:
             p1, p2, lp = augment_batch(
                 key, p1, p2, lp, self.augment_cfg, p,
-                scene1=self.scene1, class_table=self.class_table,
+                scene1=a["scene1"], class_table=self.class_table,
                 class_counts=self.class_counts,
                 ignored_mask=self.ignored_mask)
 

@@ -39,13 +39,17 @@ class TwoViewPipeline(PatchPipeline):
         if augment.mixture and self.class_table is None:
             raise ValueError("mixture augmentation needs a class table")
 
-    def make_views(self, key: jax.Array, centers: jnp.ndarray):
-        """Gather + build the two views for one batch. Call inside jit."""
+    def make_views(self, key: jax.Array, centers: jnp.ndarray,
+                   arrays=None):
+        """Gather + build the two views for one batch. Call inside jit;
+        pass ``arrays=device_arrays()`` so the scene rasters stay runtime
+        arguments (see PatchPipeline.device_arrays)."""
+        a = arrays if arrays is not None else self.device_arrays()
         p = self.patch_size
         cfg = self.augment_cfg
-        v1_1 = gather_patches(self.scene1, centers, p)
-        v2_1 = gather_patches(self.scene2, centers, p)
-        lp = gather_patches(self.gt[..., None], centers, p)[..., 0]
+        v1_1 = gather_patches(a["scene1"], centers, p)
+        v2_1 = gather_patches(a["scene2"], centers, p)
+        lp = gather_patches(a["gt"][..., None], centers, p)[..., 0]
 
         b = v1_1.shape[0]
         keys = jax.random.split(key, b)
@@ -63,7 +67,7 @@ class TwoViewPipeline(PatchPipeline):
                 d1a = jnp.where(gate, radiation_noise(k_r, d1a), d1a)
             if cfg.mixture:
                 gate = jax.random.uniform(k_mg) < 0.2
-                mixed = mixture_noise(k_m, d1a, laba, self.scene1,
+                mixed = mixture_noise(k_m, d1a, laba, a["scene1"],
                                       self.class_table, self.class_counts,
                                       self.ignored_mask)
                 d1a = jnp.where(gate, mixed, d1a)

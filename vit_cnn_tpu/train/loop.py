@@ -92,6 +92,12 @@ class Trainer:
             module.apply, variables, self.tx)
         self.np_rng = np.random.RandomState(seed)
 
+        # large rasters ride as runtime args through every jit boundary
+        # (closure constants get embedded into shipped executables on some
+        # backends; see PatchPipeline.device_arrays)
+        self._arrays = pipeline.device_arrays()
+        self._val_arrays = (val_pipeline.device_arrays()
+                            if val_pipeline is not None else None)
         self._step = self._build_step()
         self._eval_step = self._build_eval_step()
         if val_pipeline is not None:
@@ -108,9 +114,10 @@ class Trainer:
         class_weights = self.class_weights
         bf16 = bool(self.hp.get("bf16", False))
 
-        def step(state: TrainState, centers, valid, rng):
+        def step(state: TrainState, centers, valid, rng, arrays):
             data_key, dropout_key = jax.random.split(rng)
-            p1, p2, labels = pipeline.make_batch(data_key, centers, train=True)
+            p1, p2, labels = pipeline.make_batch(data_key, centers,
+                                                 train=True, arrays=arrays)
 
             def compute_loss(params):
                 # bf16 policy: compute in bf16, keep f32 master params /
@@ -153,7 +160,7 @@ class Trainer:
             bs = batch_sharding(self.mesh)
             rep = replicated(self.mesh)
             return jax.jit(step,
-                           in_shardings=(rep, bs, bs, rep),
+                           in_shardings=(rep, bs, bs, rep, rep),
                            out_shardings=(rep, rep))
         return jax.jit(step)
 
@@ -189,7 +196,8 @@ class Trainer:
         for i in range(0, len(centers_all), bs):
             centers = jnp.asarray(centers_all[i:i + bs])
             valid = jnp.asarray(valid_all[i:i + bs])
-            p1, p2, labels = self._val_batch(key, centers)
+            p1, p2, labels = self._val_batch(key, centers,
+                                             arrays=self._val_arrays)
             c, t = self._eval_step(variables, p1, p2, labels, valid)
             correct += int(c)
             total += int(t)
@@ -244,7 +252,8 @@ class Trainer:
                 self.data_key, sub = jax.random.split(self.data_key)
                 centers = jnp.asarray(centers_all[i:i + bs])
                 valid = jnp.asarray(valid_all[i:i + bs])
-                self.state, loss = self._step(self.state, centers, valid, sub)
+                self.state, loss = self._step(self.state, centers, valid,
+                                              sub, self._arrays)
                 step_losses.append(loss)
             avg_loss = float(jnp.mean(jnp.stack(step_losses))) \
                 if step_losses else 0.0

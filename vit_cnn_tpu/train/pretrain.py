@@ -91,8 +91,9 @@ class Pretrainer:
         temperature = self.temperature
 
         def step(variables, opt_state, moco: MoCoState, centers, valid, rng,
-                 lr):
-            v1_1, v1_2, v2_1, v2_2, _ = pipeline.make_views(rng, centers)
+                 lr, arrays):
+            v1_1, v1_2, v2_1, v2_2, _ = pipeline.make_views(rng, centers,
+                                                            arrays=arrays)
 
             def loss_fn(params):
                 var = {**variables, "params": params}
@@ -119,7 +120,8 @@ class Pretrainer:
             bs = batch_sharding(self.mesh)
             rep = replicated(self.mesh)
             return jax.jit(step,
-                           in_shardings=(rep, rep, rep, bs, bs, rep, rep),
+                           in_shardings=(rep, rep, rep, bs, bs, rep, rep,
+                                         rep),
                            out_shardings=(rep, rep, rep, rep))
         return jax.jit(step)
 
@@ -141,7 +143,8 @@ class Pretrainer:
                 (self.variables, self.opt_state, self.moco,
                  loss) = self._step(self.variables, self.opt_state,
                                     self.moco, centers, valid, sub,
-                                    jnp.float32(lr))
+                                    jnp.float32(lr),
+                                    self.pipeline.device_arrays())
                 epoch_loss += float(loss)
                 n_steps += 1
             avg = epoch_loss / max(n_steps, 1)
