@@ -82,8 +82,9 @@ def measure_ours(img1, img2):
         apply_fn = _bf16_cached(module.apply)
 
     def run_band(probs, x0):
-        return _band_scatter(probs, scene1, scene2, x0, variables,
-                             rows=rows, patch_size=PATCH, apply_fn=apply_fn)
+        return _band_scatter(probs, scene1, scene2, x0, H - PATCH + 1,
+                             variables, rows=rows, patch_size=PATCH,
+                             apply_fn=apply_fn)
 
     def materialize(x):
         # NOTE: on the tunneled TPU backend block_until_ready() returns
@@ -143,7 +144,8 @@ def measure_train_ours(img1, img2, batch_size=1024, budget_s=6.0):
     def one_step():
         trainer.data_key, sub = jax.random.split(trainer.data_key)
         trainer.state, loss = trainer._step(trainer.state, centers,
-                                            valid, sub, trainer._arrays)
+                                            valid, sub, trainer._arrays,
+                                            jnp.float32(0.0))
         return loss
 
     t0 = time.time()

@@ -1,7 +1,9 @@
 """Decomposition timing of the flagship inference chunk on the real TPU.
 Fences on host transfers (block_until_ready is unreliable via tunnel)."""
-import time, sys, numpy as np, jax, jax.numpy as jnp
+import os, time, sys, numpy as np, jax, jax.numpy as jnp
 import flax.linen as nn
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 def bench(fn, *args, n=8, label=""):
     f = jax.jit(fn)

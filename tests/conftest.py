@@ -20,11 +20,16 @@ import jax  # noqa: E402
 jax.config.update("jax_platforms", "cpu")
 
 # persistent compile cache: CPU jit of the big models (flagship, MHST)
-# dominates suite wall time; cache compiled programs across runs
+# dominates suite wall time on this 1-CPU host; cache compiled programs
+# across runs. Threshold 1s: medium programs (2-5s x dozens of tests)
+# add up. NOTE a cache populated by a DIFFERENT environment can poison
+# runs (stale entries caused rare SIGABRTs and wrong-numerics flakes,
+# 2026-08-17 — wipe ~/.cache/vct_jax_cache_cpu if the suite aborts or
+# models inexplicably stop learning in-suite only).
 _cache_dir = os.path.expanduser("~/.cache/vct_jax_cache_cpu")
 os.makedirs(_cache_dir, exist_ok=True)
 jax.config.update("jax_compilation_cache_dir", _cache_dir)
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1)
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402

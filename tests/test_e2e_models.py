@@ -19,9 +19,9 @@ from vit_cnn_tpu.models import get_model
 from vit_cnn_tpu.pipeline import AugmentConfig, PatchPipeline
 
 FAST = ["EndNet", "Early_fusion_CNN", "Middle_fusion_CNN", "Late_fusion_CNN",
-        "Cross_fusion_CNN", "S2ENet", "MFT", "SpectralFormer", "S2EFT",
+        "Cross_fusion_CNN", "S2ENet", "SpectralFormer", "S2EFT",
         "HCTnet"]
-SLOW = ["FusAtNet", "MHST", "GLT_Net", "Multimodality_Mamba"]
+SLOW = ["MFT", "FusAtNet", "MHST", "GLT_Net", "Multimodality_Mamba"]
 
 
 @pytest.fixture(scope="module")
@@ -40,7 +40,14 @@ def _run(name, scene):
     from vit_cnn_tpu.train import Trainer
 
     img1, img2, gt = scene
-    train_gt, _ = sample_gt(gt, 0.4, mode="random", seed=0)
+    # the 'random' sampling mode is parity-faithfully UNSEEDED (the
+    # reference's utils.py:775-846 quirk — it draws from the np.random
+    # GLOBAL stream); pin the global stream here so this test does not
+    # depend on how many np.random draws earlier tests consumed
+    np.random.seed(0)
+    # 0.25 sampling: enough of the easy scene to learn in 3 epochs, and the
+    # per-epoch CPU compute of the heavy models stays bounded (suite time)
+    train_gt, _ = sample_gt(gt, 0.25, mode="random", seed=0)
     hp = {"n_classes": 5, "n_bands": (img1.shape[-1], 1),
           "ignored_labels": [0], "dataset": "Synthetic", "epoch": 3,
           "batch_size": 32, "test_stride": 3}

@@ -36,6 +36,9 @@ def test_sliding_window_origin_parity():
 @pytest.fixture(scope="module")
 def trained(synthetic_scene_module):
     img1, img2, gt = synthetic_scene_module
+    # 'random' mode is parity-faithfully unseeded (global np.random); pin
+    # the global stream for order-independence across the suite
+    np.random.seed(0)
     train_gt, test_gt = sample_gt(gt, 0.5, mode="random", seed=0)
     hp = {
         "n_classes": 5, "n_bands": (img1.shape[-1], 1),
@@ -136,9 +139,54 @@ def test_band_path_matches_generic_origins_path(trained):
     s2p = jnp.concatenate([scene2, z2], axis=0)
     probs_b = jnp.zeros((h + t_pad, w, k), jnp.float32)
     for x0 in range(0, total + t_pad, rows):
-        probs_b = _band_scatter(probs_b, s1p, s2p, x0, best,
+        probs_b = _band_scatter(probs_b, s1p, s2p, x0, total, best,
                                 rows=rows, patch_size=p,
                                 apply_fn=module.apply)
+
+    np.testing.assert_allclose(np.asarray(probs_b[:h]),
+                               np.asarray(probs_g), rtol=1e-5, atol=1e-5)
+
+
+def test_band_path_masks_padding_origins_patch5():
+    """With P >= 3, padded origin rows produce logits whose center rows
+    land INSIDE the image (center = origin + P//2 < H); the band path must
+    zero them (this is the regression the P=1 fixture test cannot see)."""
+    import jax.numpy as jnp
+
+    from vit_cnn_tpu.infer.fullscene import (_band_scatter, _chunk_scatter,
+                                             sliding_window_origins)
+
+    rng = np.random.RandomState(7)
+    p, h, w, c, k = 5, 17, 13, 3, 4
+    img1 = jnp.asarray(rng.rand(h, w, c).astype(np.float32))
+    img2 = jnp.asarray(rng.rand(h, w, 1).astype(np.float32))
+    wmat = jnp.asarray(rng.rand(p * p * (c + 1), k).astype(np.float32))
+
+    def apply_fn(variables, p1, p2, train=False):
+        flat = jnp.concatenate([p1, p2], axis=-1).reshape(p1.shape[0], -1)
+        return flat @ variables
+
+    origins = sliding_window_origins(h, w, p, 1)
+    probs_g = jnp.zeros((h, w, k), jnp.float32)
+    for i in range(0, len(origins), 64):
+        o = jnp.asarray(origins[i:i + 64])
+        v = jnp.ones(len(o), jnp.float32)
+        probs_g = _chunk_scatter(probs_g, img1, img2, o, v, wmat,
+                                 patch_size=p, apply_fn=apply_fn)
+
+    # rows=4 does not divide the 13 origin rows -> 3 padding origin rows,
+    # whose centers fall at image rows 15..16 (< h): must stay zero-masked
+    rows, total = 4, h - p + 1
+    t_pad = -total % rows
+    assert t_pad > 0
+    z1 = jnp.zeros((t_pad, w, c), jnp.float32)
+    z2 = jnp.zeros((t_pad, w, 1), jnp.float32)
+    s1p = jnp.concatenate([img1, z1], axis=0)
+    s2p = jnp.concatenate([img2, z2], axis=0)
+    probs_b = jnp.zeros((h + t_pad, w, k), jnp.float32)
+    for x0 in range(0, total + t_pad, rows):
+        probs_b = _band_scatter(probs_b, s1p, s2p, x0, total, wmat,
+                                rows=rows, patch_size=p, apply_fn=apply_fn)
 
     np.testing.assert_allclose(np.asarray(probs_b[:h]),
                                np.asarray(probs_g), rtol=1e-5, atol=1e-5)

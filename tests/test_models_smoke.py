@@ -35,8 +35,10 @@ def test_forward_shapes(name):
     key = jax.random.PRNGKey(0)
     hsi = jax.random.normal(key, (4, p, p, c1))
     lidar = jax.random.normal(key, (4, p, p, N_BANDS[1]))
-    variables = module.init({"params": key, "dropout": key}, hsi, lidar,
-                            train=False)
+    # jitted init: plain flax init runs eagerly op-by-op (~40s for the
+    # flagship on CPU); jitted it is one cached compile
+    variables = jax.jit(module.init, static_argnames=("train",))(
+        {"params": key, "dropout": key}, hsi, lidar, train=False)
     out = jax.jit(lambda v, a, b: module.apply(v, a, b, train=False))(
         variables, hsi, lidar)
     logits = out[0] if isinstance(out, tuple) else out
@@ -52,8 +54,8 @@ def test_train_mode_updates_batch_stats(name):
     key = jax.random.PRNGKey(0)
     hsi = jax.random.normal(key, (4, p, p, c1))
     lidar = jax.random.normal(key, (4, p, p, N_BANDS[1]))
-    variables = module.init({"params": key, "dropout": key}, hsi, lidar,
-                            train=False)
+    variables = jax.jit(module.init, static_argnames=("train",))(
+        {"params": key, "dropout": key}, hsi, lidar, train=False)
     if "batch_stats" not in variables:
         pytest.skip("model has no BatchNorm")
     out, updates = module.apply(variables, hsi, lidar, train=True,

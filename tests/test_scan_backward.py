@@ -21,7 +21,9 @@ def _inputs(rng, b=5, L=12, d=8, n=4):
 
 
 @pytest.mark.parametrize("reverse", [False, True])
-@pytest.mark.parametrize("shape", [(5, 12, 8, 4), (3, 81, 8, 4)])
+# (3, 33, 8, 4) spans many time chunks (Tc=4 -> 9, incl. a ragged final
+# one) like the flagship's L=81 while staying affordable in interpret mode
+@pytest.mark.parametrize("shape", [(5, 12, 8, 4), (3, 33, 8, 4)])
 def test_backward_kernel_matches_autodiff(rng, reverse, shape):
     from jax.experimental.pallas import tpu as pltpu
 

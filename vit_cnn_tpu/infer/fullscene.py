@@ -92,9 +92,14 @@ def band_patches(band, rows: int, patch_size: int):
     return stacked.reshape(rows * wc, p, p, band.shape[-1])
 
 
-def _band_scatter_fn(probs, scene1, scene2, x0, variables,
+def _band_scatter_fn(probs, scene1, scene2, x0, n_origin_rows, variables,
                      rows: int, patch_size: int, apply_fn):
-    """One row-band: gather by shifts, forward, contiguous accumulate."""
+    """One row-band: gather by shifts, forward, contiguous accumulate.
+
+    ``n_origin_rows`` = H - P + 1 of the UNPADDED scene: when the caller
+    pads the scene so the band count divides evenly, the padding origin
+    rows produce garbage logits whose center rows land INSIDE the image
+    for P >= 3 (center = origin + P//2 < H) — they must contribute zero."""
     p = patch_size
     w = scene1.shape[1]
     wc = w - p + 1
@@ -106,6 +111,8 @@ def _band_scatter_fn(probs, scene1, scene2, x0, variables,
                    band_patches(band2, rows, p), train=False)
     logits = out[0] if isinstance(out, tuple) else out
     block = logits.reshape(rows, wc, -1).astype(probs.dtype)
+    valid = (x0 + jnp.arange(rows) < n_origin_rows).astype(probs.dtype)
+    block = block * valid[:, None, None]
     cur = jax.lax.dynamic_slice(
         probs, (x0 + p // 2, p // 2, 0), (rows, wc, probs.shape[-1]))
     return jax.lax.dynamic_update_slice(
@@ -187,8 +194,8 @@ def full_scene_probabilities(module, variables, img1: np.ndarray,
         else:
             scene1p, scene2p = scene1, scene2
         for x0 in range(0, total + t_pad, rows):
-            probs = _band_scatter(probs, scene1p, scene2p, x0, variables,
-                                  rows=rows, patch_size=p,
+            probs = _band_scatter(probs, scene1p, scene2p, x0, total,
+                                  variables, rows=rows, patch_size=p,
                                   apply_fn=apply_fn0)
         return np.asarray(probs[:h])
 

@@ -86,8 +86,12 @@ class Trainer:
         c2 = pipeline.scene2.shape[-1]
         dummy1 = jnp.zeros((2, p, p, c1), jnp.float32)
         dummy2 = jnp.zeros((2, p, p, c2), jnp.float32)
-        variables = module.init({"params": init_key, "dropout": init_key},
-                                dummy1, dummy2, train=False)
+        # jit the init: flax's plain init executes EAGERLY op-by-op — ~40s
+        # of per-op dispatch for the flagship on CPU; as one compiled
+        # program it traces in <1s and the compile hits the persistent cache
+        variables = jax.jit(module.init, static_argnames=("train",))(
+            {"params": init_key, "dropout": init_key},
+            dummy1, dummy2, train=False)
         self.state = TrainState.create_from_variables(
             module.apply, variables, self.tx)
         self.np_rng = np.random.RandomState(seed)
@@ -114,7 +118,8 @@ class Trainer:
         class_weights = self.class_weights
         bf16 = bool(self.hp.get("bf16", False))
 
-        def step(state: TrainState, centers, valid, rng, arrays):
+        def step(state: TrainState, centers, valid, rng, arrays,
+                 loss_sum):
             data_key, dropout_key = jax.random.split(rng)
             p1, p2, labels = pipeline.make_batch(data_key, centers,
                                                  train=True, arrays=arrays)
@@ -150,7 +155,12 @@ class Trainer:
             state = state.apply_gradients(grads=grads)
             if updates:
                 state = state.replace(batch_stats=updates["batch_stats"])
-            return state, loss
+            # the epoch loss accumulates INSIDE the jitted step: no per-step
+            # host sync (async dispatch stays pipelined), and no EAGER op on
+            # mesh-replicated arrays either — eager dispatch over a
+            # multi-device CPU mesh intermittently SIGABRTs in XLA:CPU
+            # (observed in test_cli_mesh_end_to_end, 2026-08-17)
+            return state, loss_sum + loss
 
         if self.mesh is not None:
             # DP over the mesh: batch (centers/valid) sharded on 'data',
@@ -160,7 +170,7 @@ class Trainer:
             bs = batch_sharding(self.mesh)
             rep = replicated(self.mesh)
             return jax.jit(step,
-                           in_shardings=(rep, bs, bs, rep, rep),
+                           in_shardings=(rep, bs, bs, rep, rep, rep),
                            out_shardings=(rep, rep))
         return jax.jit(step)
 
@@ -244,19 +254,21 @@ class Trainer:
             t0 = time.time()
             order = self.pipeline.epoch_order(self.np_rng)
             centers_all, valid_all = _pad_to_multiple(order, bs)
-            # losses stay on device inside the epoch: a float() per step
-            # would block async dispatch (step N+1's launch would serialize
-            # behind step N's completion on TPU); sync once per epoch
-            step_losses = []
+            # the loss sum rides inside the jitted step (no per-step host
+            # sync — step N+1's launch would serialize behind step N's
+            # completion on TPU — and no eager ops on mesh arrays, which
+            # can SIGABRT XLA:CPU); one float() per epoch
+            loss_sum = jnp.float32(0.0)
+            n_steps = 0
             for i in range(0, len(centers_all), bs):
                 self.data_key, sub = jax.random.split(self.data_key)
                 centers = jnp.asarray(centers_all[i:i + bs])
                 valid = jnp.asarray(valid_all[i:i + bs])
-                self.state, loss = self._step(self.state, centers, valid,
-                                              sub, self._arrays)
-                step_losses.append(loss)
-            avg_loss = float(jnp.mean(jnp.stack(step_losses))) \
-                if step_losses else 0.0
+                self.state, loss_sum = self._step(self.state, centers,
+                                                  valid, sub, self._arrays,
+                                                  loss_sum)
+                n_steps += 1
+            avg_loss = float(loss_sum) / n_steps if n_steps else 0.0
             self.log.losses.append(avg_loss)
 
             if self.val_pipeline is not None:

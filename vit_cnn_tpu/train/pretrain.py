@@ -71,8 +71,10 @@ class Pretrainer:
         p = pipeline.patch_size
         d1 = jnp.zeros((2, p, p, pipeline.scene1.shape[-1]), jnp.float32)
         d2 = jnp.zeros((2, p, p, pipeline.scene2.shape[-1]), jnp.float32)
-        self.variables = encoder.init({"params": init_key}, d1, d2,
-                                      train=False)
+        # jitted init: flax's plain init executes eagerly op-by-op (slow on
+        # CPU); one compiled program + persistent-cache hit instead
+        self.variables = jax.jit(encoder.init, static_argnames=("train",))(
+            {"params": init_key}, d1, d2, train=False)
         self.moco = init_moco_state(self.variables, queue_size, embed_dim)
 
         # lr is injected per epoch (adjust_learning_rate parity), so the
