@@ -94,3 +94,31 @@ def test_reverse_scan_equals_flipped_forward():
     want = flip(selective_scan(flip(u), flip(dt), A, flip(B), flip(C), D))
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                rtol=1e-5, atol=1e-6)
+
+
+def test_bf16_onehot_permute_matches_gather():
+    """In bf16, permute_tokens/unpermute_sum run as one-hot MXU matmuls —
+    each output element is selected by a single unit coefficient, so they
+    must be BIT-EXACT against the gather formulation."""
+    from vit_cnn_tpu.nn.mamba import permute_tokens, unpermute_sum
+    from vit_cnn_tpu.ops.scan_paths import (inverse_permutation,
+                                            path_orderings)
+
+    key = jax.random.PRNGKey(3)
+    B, L, C = 4, 81, 8
+    orders = path_orderings("81_2+8", L)
+    perms = jnp.asarray(np.stack(orders))
+    inv = jnp.asarray(np.stack([inverse_permutation(o) for o in orders]))
+    x = jax.random.normal(key, (B, L, C)).astype(jnp.bfloat16)
+
+    got = jax.jit(permute_tokens)(x, perms)
+    want = x[:, perms].transpose(1, 0, 2, 3)
+    np.testing.assert_array_equal(np.asarray(got, np.float32),
+                                  np.asarray(want, np.float32))
+
+    comb = jax.random.normal(key, (len(orders), B, L, C)).astype(jnp.bfloat16)
+    got2 = jax.jit(unpermute_sum)(comb, inv)
+    want2 = jnp.sum(jnp.take_along_axis(
+        comb.astype(jnp.float32), inv[:, None, :, None], axis=2), axis=0)
+    np.testing.assert_allclose(np.asarray(got2, np.float32),
+                               np.asarray(want2), rtol=2e-2, atol=1e-2)

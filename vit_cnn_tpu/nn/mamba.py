@@ -102,6 +102,40 @@ class MambaMixer(nn.Module):
                         name="out_proj")(y)
 
 
+def permute_tokens(x, perms):
+    """(B, L, C) -> (nb, B, L, C) with out[n, b, l] = x[b, perms[n, l]].
+
+    In bf16 the permutation runs as a ONE-HOT MXU MATMUL: each output
+    element is selected by a single unit coefficient, so the result is
+    BIT-EXACT, and it measures 2.3x faster than the gather HLO at the
+    flagship's widened shape (7.2 vs 16.8 ms, perf/gather_mm 2026-08-17).
+    f32 keeps the gather: TPU f32 matmuls decompose into bf16 passes
+    (rel err ~4e-3 — not exact), and the f32 one-hot is only 1.5x.
+    """
+    if x.dtype == jnp.bfloat16:
+        P = jax.nn.one_hot(perms, x.shape[1], dtype=x.dtype)   # (nb, L, L)
+        return jnp.einsum("nls,bsc->nblc", P, x)
+    return x[:, perms].transpose(1, 0, 2, 3)
+
+
+def unpermute_sum(combined, inv_perms):
+    """sum_n combined[n, :, inv_perms[n], :] -> (B, L, C): the inverse
+    scatter of every direction AND the direction sum, fused.
+
+    In bf16 both collapse into one one-hot matmul (exact selection, f32
+    accumulation via preferred_element_type keeps the 10-way direction sum
+    out of bf16); f32 keeps take_along_axis + sum (see permute_tokens)."""
+    if combined.dtype == jnp.bfloat16:
+        P = jax.nn.one_hot(inv_perms, combined.shape[2],
+                           dtype=combined.dtype)               # (nb, L, L)
+        return jnp.einsum("nls,nbsc->blc", P, combined,
+                          preferred_element_type=jnp.float32
+                          ).astype(combined.dtype)
+    unscattered = jnp.take_along_axis(
+        combined, inv_perms[:, None, :, None], axis=2)
+    return jnp.sum(unscattered, axis=0)
+
+
 class MultiDirMambaLayer(nn.Module):
     """One multi-directional Mamba layer: the mixer pipeline applied over D
     re-orderings of the tokens with a learned softmax gate over directions
@@ -176,8 +210,9 @@ class MultiDirMambaLayer(nn.Module):
         proj = nn.Dense(2 * d, use_bias=self.use_bias, name="in_proj")(x)
         u, gate = jnp.split(proj, 2, axis=-1)                 # (B, L, d)
 
-        # gather u once per base ordering, fold into batch
-        u_g = u[:, perms].transpose(1, 0, 2, 3)               # (nb, B, L, d)
+        # permute u once per base ordering, fold into batch (one-hot MXU
+        # matmul in bf16, gather in f32 — see permute_tokens)
+        u_g = permute_tokens(u, perms)                        # (nb, B, L, d)
         u_g = u_g.reshape(nb * b, L, d)
 
         conv = nn.Conv(d, (self.conv_kernel,),
@@ -272,10 +307,9 @@ class MultiDirMambaLayer(nn.Module):
             combined = combined.at[jnp.asarray(rev_rows)].add(
                 y_rev * w_rev[:, None, None, None])
 
-        # one inverse scatter per base, then the direction sum
-        unscattered = jnp.take_along_axis(
-            combined, inv_perms[:, None, :, None], axis=2)
-        y = jnp.sum(unscattered, axis=0)                      # (B, L, d)
+        # one inverse scatter per base + the direction sum (fused into one
+        # one-hot matmul in bf16 — see unpermute_sum)
+        y = unpermute_sum(combined, inv_perms)                # (B, L, d)
 
         y = y * nn.silu(gate)
         return out_proj(y)
