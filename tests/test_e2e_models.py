@@ -36,7 +36,7 @@ def scene():
             os.environ.pop(k, None)
 
 
-def _run(name, scene):
+def _run(name, scene, sample=0.25):
     from vit_cnn_tpu.train import Trainer
 
     img1, img2, gt = scene
@@ -45,9 +45,11 @@ def _run(name, scene):
     # GLOBAL stream); pin the global stream here so this test does not
     # depend on how many np.random draws earlier tests consumed
     np.random.seed(0)
-    # 0.25 sampling: enough of the easy scene to learn in 3 epochs, and the
-    # per-epoch CPU compute of the heavy models stays bounded (suite time)
-    train_gt, _ = sample_gt(gt, 0.25, mode="random", seed=0)
+    # 0.25 sampling for the fast set: enough of the easy scene to learn in
+    # 3 epochs while the per-epoch CPU compute stays bounded (suite time);
+    # the slow-marked heavies (FusAtNet/MHST) need 0.4 to clear the
+    # learning assertion in 3 epochs
+    train_gt, _ = sample_gt(gt, sample, mode="random", seed=0)
     hp = {"n_classes": 5, "n_bands": (img1.shape[-1], 1),
           "ignored_labels": [0], "dataset": "Synthetic", "epoch": 3,
           "batch_size": 32, "test_stride": 3}
@@ -86,4 +88,4 @@ def test_micro_train_and_fullscene(name, scene):
 @pytest.mark.slow
 @pytest.mark.parametrize("name", SLOW)
 def test_micro_train_and_fullscene_slow(name, scene):
-    _run(name, scene)
+    _run(name, scene, sample=0.4)
