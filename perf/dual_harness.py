@@ -33,14 +33,17 @@ CONFIGS = [
     # (name, epochs, bands, extra hp)
     ("EndNet", 15, 20, {}),
     ("Middle_fusion_CNN", 30, 20, {}),
+    # PCA-30 + transformer path; patch 11 leaves only (28-10)^2 interior
+    # pixels on the default scene -> use 40x40 so both harnesses converge
+    ("HCTnet", 100, 40, {"_hw": (40, 40)}),
     ("Multimodality_Mamba", 20, 144, {}),  # ref flagship needs 144 bands
 ]
 
 
-def scene(bands):
+def scene(bands, hw=(28, 28)):
     from vit_cnn_tpu.data.registry import _synthetic_loader
 
-    os.environ.update(VCT_SYN_H="28", VCT_SYN_W="28",
+    os.environ.update(VCT_SYN_H=str(hw[0]), VCT_SYN_W=str(hw[1]),
                       VCT_SYN_BANDS=str(bands), VCT_SYN_CLASSES="5")
     try:
         return _synthetic_loader("")
@@ -53,9 +56,17 @@ def scene(bands):
 def main():
     from vit_cnn_tpu.data.sampling import sample_gt
 
+    # optional selection: `python perf/dual_harness.py HCTnet ...` runs
+    # only those configs and MERGES their rows into the existing
+    # DUAL_HARNESS.md (the flagship row costs ~1 h of torch-CPU training —
+    # no need to re-run it to add a model)
+    selected = set(sys.argv[1:])
     rows = []
     for name, epochs, bands, extra in CONFIGS:
-        img1, img2, gt = scene(bands)
+        if selected and name not in selected:
+            continue
+        extra = dict(extra)
+        img1, img2, gt = scene(bands, extra.pop("_hw", (28, 28)))
         # 'random' mode is parity-faithfully unseeded (global np.random)
         np.random.seed(0)
         train_gt, test_gt = sample_gt(gt, 0.6, mode="random", seed=0)
@@ -77,25 +88,50 @@ def main():
               f"(ref {t_ref:.0f}s, ours {t_ours:.0f}s)", flush=True)
 
     out = os.path.join(os.path.dirname(__file__), "..", "DUAL_HARNESS.md")
+    # merge with rows already in the file (keyed by model name), keeping
+    # CONFIGS order
+    old_rows = {}
+    if os.path.exists(out):
+        for line in open(out):
+            cells = [c.strip() for c in line.strip().strip("|").split("|")]
+            if len(cells) == 10 and cells[0] not in ("Model", "---"):
+                old_rows[cells[0]] = cells
+    new_names = {r[0] for r in rows}
+    order = [c[0] for c in CONFIGS]
+    formatted = {}
+    for name, epochs, ref, ours, t_ref, t_ours in rows:
+        formatted[name] = (
+            f"| {name} | {epochs} | {ref['Accuracy']:.2f} | "
+            f"{ours['Accuracy']:.2f} | {ref['AA']:.4f} | "
+            f"{ours['AA']:.4f} | {ref['Kappa']:.4f} | "
+            f"{ours['Kappa']:.4f} | {t_ref:.0f} | {t_ours:.0f} |\n")
+    for name, cells in old_rows.items():
+        if name not in new_names:
+            formatted[name] = "| " + " | ".join(cells) + " |\n"
     with open(out, "w") as f:
         f.write(
             "# Dual-harness accuracy parity\n\n"
             "Both harnesses trained on the IDENTICAL synthetic scene "
-            "(28x28, 5 classes) and split (sample_gt random 0.6 / val 0.2 "
-            "of train), reference driven through its own get_model/train/"
-            "test (model_utils.py:47,854,1067; stub policy in tests/"
-            "ref_harness.py), ours through registry/Trainer/"
-            "full_scene_probabilities. Generated by perf/dual_harness.py; "
-            "spot-checked in tests/test_dual_harness.py.\n\n"
+            "(28x28, 5 classes; 40x40 for HCTnet, whose patch 11 leaves "
+            "too few interior pixels on 28x28) and split (sample_gt "
+            "random 0.6 / val 0.2 of train), reference driven through its "
+            "own get_model/train/test (model_utils.py:47,854,1067; stub "
+            "policy in tests/ref_harness.py), ours through registry/"
+            "Trainer/full_scene_probabilities. Training dynamics are not "
+            "bitwise-reproducible across frameworks (different init/"
+            "shuffle/gumbel RNG streams — HCTnet's stochastic head-select "
+            "makes it the noisiest row); the claim is agreement, not "
+            "equality. Generated by perf/dual_harness.py; spot-checked in "
+            "tests/test_dual_harness.py.\n\n"
             "| Model | epochs | ref OA | ours OA | ref AA | ours AA | "
             "ref Kappa | ours Kappa | ref s | ours s |\n"
             "|---|---|---|---|---|---|---|---|---|---|\n")
-        for name, epochs, ref, ours, t_ref, t_ours in rows:
-            f.write(
-                f"| {name} | {epochs} | {ref['Accuracy']:.2f} | "
-                f"{ours['Accuracy']:.2f} | {ref['AA']:.4f} | "
-                f"{ours['AA']:.4f} | {ref['Kappa']:.4f} | "
-                f"{ours['Kappa']:.4f} | {t_ref:.0f} | {t_ours:.0f} |\n")
+        for name in order:
+            if name in formatted:
+                f.write(formatted[name])
+        for name in formatted:
+            if name not in order:
+                f.write(formatted[name])
     print("wrote", os.path.abspath(out))
 
 

@@ -311,6 +311,17 @@ def run_reference_experiment(name, img1, img2, train_gt, val_gt, test_gt,
     r_utils.seed_torch(seed=seed)
     model, optimizer, criterion, hp = r_mu.get_model(name, **hp)
 
+    # PCA models (HCTnet): the reference's main.py reduces img1 before
+    # building datasets; use the same apply_pca as our harness so both
+    # sides see IDENTICAL input data
+    if hp.get("applyPCA"):
+        from vit_cnn_tpu.data.normalize import apply_pca
+
+        # the reference hardcodes n_bands = 30 for its PCA models
+        # (model_utils.py:356-357) and never defines pca_components
+        img1 = apply_pca(img1, hp.get("pca_components", 30))
+        hp["n_bands"] = (img1.shape[-1], hp["n_bands"][1])
+
     train_ds = r_datasets.MultiModalX(img1, img2, train_gt, **hp)
     g = torch.Generator()
     g.manual_seed(seed)
