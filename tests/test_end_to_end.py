@@ -209,3 +209,56 @@ def test_band_patches_match_window_gather_patch9():
                        np.int32)
     want = gather_windows(band, jnp.asarray(origins), p)
     np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+
+def test_mesh_band_path_matches_generic(synthetic_scene):
+    """The mesh-sharded stride-1 band serving path (band groups split over
+    the 8-device 'data' axis, blocks assembled in one compiled program)
+    must equal the generic per-origin path, including border zeros and
+    padding-origin masking."""
+    import jax
+    import jax.numpy as jnp
+
+    from vit_cnn_tpu.infer.fullscene import (_assemble_band_blocks,
+                                             _chunk_scatter,
+                                             _sharded_band_blocks,
+                                             sliding_window_origins)
+    from vit_cnn_tpu.parallel import make_mesh, shard_batch
+
+    rng = np.random.RandomState(11)
+    p, h, w, c, k = 5, 19, 14, 3, 4
+    img1 = jnp.asarray(rng.rand(h, w, c).astype(np.float32))
+    img2 = jnp.asarray(rng.rand(h, w, 1).astype(np.float32))
+    wmat = jnp.asarray(rng.rand(p * p * (c + 1), k).astype(np.float32))
+
+    def apply_fn(variables, p1, p2, train=False):
+        flat = jnp.concatenate([p1, p2], axis=-1).reshape(p1.shape[0], -1)
+        return flat @ variables
+
+    origins = sliding_window_origins(h, w, p, 1)
+    probs_g = jnp.zeros((h, w, k), jnp.float32)
+    for i in range(0, len(origins), 64):
+        o = jnp.asarray(origins[i:i + 64])
+        v = jnp.ones(len(o), jnp.float32)
+        probs_g = _chunk_scatter(probs_g, img1, img2, o, v, wmat,
+                                 patch_size=p, apply_fn=apply_fn)
+
+    mesh = make_mesh(8)
+    rows, total = 2, h - p + 1             # 15 origin rows
+    band_mult = rows * 8
+    t_pad = -total % band_mult             # 1 -> padding origins exist
+    assert t_pad > 0
+    z1 = jnp.zeros((t_pad, w, c), jnp.float32)
+    z2 = jnp.zeros((t_pad, w, 1), jnp.float32)
+    s1p = jnp.concatenate([img1, z1], axis=0)
+    s2p = jnp.concatenate([img2, z2], axis=0)
+    step_fn = _sharded_band_blocks(mesh, rows, p, apply_fn)
+    blocks = []
+    for g0 in range(0, total + t_pad, band_mult):
+        x0s = shard_batch(np.arange(g0, g0 + band_mult, rows,
+                                    dtype=np.int32), mesh)
+        blocks.append(step_fn(s1p, s2p, x0s, jnp.int32(total), wmat))
+    probs_m = _assemble_band_blocks(blocks, h, w, p, total)
+
+    np.testing.assert_allclose(np.asarray(probs_m), np.asarray(probs_g),
+                               rtol=1e-5, atol=1e-5)

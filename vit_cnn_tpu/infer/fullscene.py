@@ -122,6 +122,65 @@ def _band_scatter_fn(probs, scene1, scene2, x0, n_origin_rows, variables,
 _band_scatter = jax.jit(_band_scatter_fn,
                         static_argnames=("rows", "patch_size", "apply_fn"))
 
+
+def _band_blocks_fn(scene1, scene2, x0s, n_origin_rows, variables,
+                    rows: int, patch_size: int, apply_fn):
+    """A GROUP of row-bands at once: returns (n_bands, rows, Wc, K) center
+    blocks (padding-origin rows zeroed). The band axis is the sharding
+    axis of the mesh serving path — each device computes its own bands
+    from the replicated scene, with NO cross-device communication."""
+    p = patch_size
+    w = scene1.shape[1]
+    wc = w - p + 1
+
+    def one(x0):
+        band1 = jax.lax.dynamic_slice(
+            scene1, (x0, 0, 0), (rows + p - 1, w, scene1.shape[-1]))
+        band2 = jax.lax.dynamic_slice(
+            scene2, (x0, 0, 0), (rows + p - 1, w, scene2.shape[-1]))
+        out = apply_fn(variables, band_patches(band1, rows, p),
+                       band_patches(band2, rows, p), train=False)
+        logits = out[0] if isinstance(out, tuple) else out
+        block = logits.reshape(rows, wc, -1).astype(jnp.float32)
+        valid = (x0 + jnp.arange(rows) < n_origin_rows).astype(block.dtype)
+        return block * valid[:, None, None]
+
+    return jax.vmap(one)(x0s)
+
+
+@lru_cache(maxsize=8)
+def _sharded_band_blocks(mesh, rows: int, patch_size: int, apply_fn):
+    """Mesh-sharded stride-1 serving: the band-group axis is split over
+    'data' (scene + params replicated). Embarrassingly parallel — the
+    output blocks stay sharded until the final assembly program."""
+    from ..parallel.mesh import batch_sharding, replicated
+
+    bs = batch_sharding(mesh)
+    rep = replicated(mesh)
+    return jax.jit(
+        partial(_band_blocks_fn, rows=rows, patch_size=patch_size,
+                apply_fn=apply_fn),
+        in_shardings=(rep, rep, bs, rep, rep),
+        out_shardings=bs)
+
+
+def _assemble_band_blocks(blocks, h: int, w: int, patch_size: int,
+                          total: int):
+    """(n_groups x (n_dev, rows, Wc, K) blocks) -> (H, W, K) prob map.
+    One compiled program (no eager ops on sharded arrays — those can
+    abort XLA:CPU on multi-device meshes): bands are contiguous row
+    ranges, so assembly is concat + crop + zero-pad borders."""
+    p = patch_size
+
+    def asm(bs):
+        flat = jnp.concatenate([b.reshape(-1, *b.shape[2:]) for b in bs],
+                               axis=0)[:total]            # (total, Wc, K)
+        return jnp.pad(flat, ((p // 2, h - total - p // 2),
+                              (p // 2, w - (flat.shape[1]) - p // 2),
+                              (0, 0)))
+
+    return jax.jit(asm)(blocks)
+
 _BF16_WRAPPERS: Dict = {}
 
 
@@ -179,20 +238,38 @@ def full_scene_probabilities(module, variables, img1: np.ndarray,
     if hyperparams.get("bf16"):
         apply_fn0 = _bf16_cached(apply_fn0)
 
-    if step == 1 and mesh is None:
-        # stride-1 fast path: row-band chunks (see _band_scatter_fn)
+    if step == 1:
+        # stride-1 fast path: row-band chunks (see _band_scatter_fn).
+        # Under a mesh, the band-group axis shards over 'data'
+        # (embarrassingly parallel serving; see _sharded_band_blocks).
         p = patch_size
         total = h - p + 1                      # origin rows
+        n_dev = int(mesh.devices.size) if mesh is not None else 1
         rows = max(1, min(total, chunk // max(w - p + 1, 1)))
-        t_pad = -total % rows
+        band_mult = rows * n_dev               # origin rows per device step
+        t_pad = -total % band_mult
         if t_pad:
             z1 = jnp.zeros((t_pad, w, scene1.shape[-1]), scene1.dtype)
             z2 = jnp.zeros((t_pad, w, scene2.shape[-1]), scene2.dtype)
             scene1p = jnp.concatenate([scene1, z1], axis=0)
             scene2p = jnp.concatenate([scene2, z2], axis=0)
-            probs = jnp.zeros((h + t_pad, w, n_classes), jnp.float32)
         else:
             scene1p, scene2p = scene1, scene2
+
+        if mesh is not None:
+            from ..parallel.mesh import shard_batch
+
+            step_fn = _sharded_band_blocks(mesh, rows, p, apply_fn0)
+            blocks = []
+            for g0 in range(0, total + t_pad, band_mult):
+                x0s = shard_batch(np.arange(
+                    g0, g0 + band_mult, rows, dtype=np.int32), mesh)
+                blocks.append(step_fn(scene1p, scene2p, x0s,
+                                      jnp.int32(total), variables))
+            return np.asarray(_assemble_band_blocks(
+                blocks, h, w, p, total))
+
+        probs = jnp.zeros((h + t_pad, w, n_classes), jnp.float32)
         for x0 in range(0, total + t_pad, rows):
             probs = _band_scatter(probs, scene1p, scene2p, x0, total,
                                   variables, rows=rows, patch_size=p,
