@@ -70,7 +70,10 @@ def measure_ours(img1, img2):
     # infer/fullscene.py): ROWS scene rows of windows per device program
     rows = int(os.environ.get("VCT_BENCH_ROWS", "4"))
     wc = W - PATCH + 1                       # 1897 windows per row
-    n_bands = min((H - PATCH + 1) // rows, BENCH_CHUNKS * CHUNK
+    # cap so every timed band (k=1..n_bands, origin k*rows) reads fully
+    # in-bounds rows: the warmup band sits at x0=0, so the last timed band
+    # must satisfy n_bands*rows + rows + PATCH - 1 <= H
+    n_bands = min((H - PATCH + 1) // rows - 1, BENCH_CHUNKS * CHUNK
                   // (rows * wc))
     log("total windows:", (H - PATCH + 1) * wc,
         "| band rows:", rows, "| bands timed:", n_bands)

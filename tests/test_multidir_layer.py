@@ -122,3 +122,34 @@ def test_bf16_onehot_permute_matches_gather():
         comb.astype(jnp.float32), inv[:, None, :, None], axis=2), axis=0)
     np.testing.assert_allclose(np.asarray(got2, np.float32),
                                np.asarray(want2), rtol=2e-2, atol=1e-2)
+
+
+def test_lane_major_path_matches_generic(monkeypatch):
+    """The round-3 lane-major pipeline (permute emits (L, ch, batch),
+    WCN conv, in-layout projections, lane_major_io scan, fused inverse-
+    permute einsum) must match the generic batch-major path. Exercised on
+    CPU via VCT_LANE_MAJOR=force (the scan falls back to the associative
+    form with edge transposes; the surrounding einsum/conv restructuring
+    is exactly what runs on TPU)."""
+    from vit_cnn_tpu.nn.precision import cast_floating
+
+    hidden, inter = 24, 12
+    L = 9
+    key = jax.random.PRNGKey(3)
+    x = jax.random.normal(key, (4, L, hidden))
+
+    layer = MultiDirMambaLayer(hidden, inter, path_type="9_2+8",
+                               use_pallas=True)
+    variables = layer.init({"params": key}, x)
+    vb = {"params": cast_floating(variables["params"], jnp.bfloat16)}
+    xb = x.astype(jnp.bfloat16)
+
+    monkeypatch.setenv("VCT_LANE_MAJOR", "0")
+    want = np.asarray(layer.apply(vb, xb), np.float32)
+    monkeypatch.setenv("VCT_LANE_MAJOR", "force")
+    got = np.asarray(layer.apply(vb, xb), np.float32)
+    np.testing.assert_allclose(got, want, rtol=5e-2, atol=5e-2)
+    # and against the f32 generic path, at bf16 tolerance
+    monkeypatch.delenv("VCT_LANE_MAJOR")
+    ref = np.asarray(layer.apply(variables, x), np.float32)
+    np.testing.assert_allclose(got, ref, rtol=1e-1, atol=1e-1)

@@ -43,10 +43,14 @@ def sliding_window_origins(h: int, w: int, patch_size: int,
 def gather_windows(img, origins, patch_size: int):
     """(N, P, P, C) windows via one advanced-indexing gather — one gather
     HLO with C-contiguous rows; 2.1x faster than a vmapped
-    ``lax.dynamic_slice`` (perf/gather_sweep.py, ROOFLINE.md)."""
+    ``lax.dynamic_slice`` (perf/gather_sweep.py, ROOFLINE.md). Indices are
+    clamped so out-of-range origins replicate the edge (dynamic_slice
+    semantics) instead of wrapping to the opposite side of the scene."""
     di = jnp.arange(patch_size)
     r = origins[:, 0, None, None] + di[None, :, None]
     c = origins[:, 1, None, None] + di[None, None, :]
+    r = jnp.clip(r, 0, img.shape[0] - 1)
+    c = jnp.clip(c, 0, img.shape[1] - 1)
     return img[r, c]
 
 

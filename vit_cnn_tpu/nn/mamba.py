@@ -27,7 +27,8 @@ we use the standard Mamba dt init (documented divergence).
 from __future__ import annotations
 
 import math
-from typing import Optional
+import os
+from typing import Callable, Optional
 
 import flax.linen as nn
 import jax
@@ -71,20 +72,53 @@ class CausalDWConv(nn.Module):
     use_bias: bool = True
 
     @nn.compact
-    def __call__(self, x, reverse: bool = False):
+    def __call__(self, x, reverse: bool = False, lane_major: bool = False):
         k = self.kernel_size
         kernel = self.param("kernel", nn.initializers.lecun_normal(),
                             (k, 1, self.features))
         if reverse:
             kernel = jnp.flip(kernel, axis=0)
         pad = [(0, k - 1)] if reverse else [(k - 1, 0)]
+        # lane_major: x is (L, d, b) — the scan kernel's native layout;
+        # the conv runs in place via WCN dimension_numbers (no transpose)
+        dn = ("WCN", "WIO", "WCN") if lane_major else ("NWC", "WIO", "NWC")
         y = jax.lax.conv_general_dilated(
             x, kernel.astype(x.dtype), window_strides=(1,), padding=pad,
-            feature_group_count=self.features,
-            dimension_numbers=("NWC", "WIO", "NWC"))
+            feature_group_count=self.features, dimension_numbers=dn)
         if self.use_bias:
             bias = self.param("bias", nn.initializers.zeros,
                               (self.features,))
+            bias = bias[None, :, None] if lane_major else bias
+            y = y + bias.astype(y.dtype)
+        return y
+
+
+class DualLayoutDense(nn.Module):
+    """nn.Dense twin (identical param tree: kernel (in, out) + optional
+    bias) that can also apply in the scan kernel's lane-major layout —
+    (L, in, b) -> (L, out, b) via one einsum, so the projection's output
+    materializes directly in the layout the Pallas scan consumes
+    (perf/mixer_lane_sweep.py: this removes the stage HBM transposes)."""
+
+    features: int
+    use_bias: bool = True
+    kernel_init: Callable = nn.initializers.lecun_normal()
+    bias_init: Callable = nn.initializers.zeros
+
+    @nn.compact
+    def __call__(self, x, lane_major: bool = False):
+        in_dim = x.shape[1] if lane_major else x.shape[-1]
+        kernel = self.param("kernel", self.kernel_init,
+                            (in_dim, self.features))
+        bias = (self.param("bias", self.bias_init, (self.features,))
+                if self.use_bias else None)
+        if lane_major:
+            y = jnp.einsum("lcb,ck->lkb", x, kernel.astype(x.dtype))
+            if bias is not None:
+                y = y + bias.astype(y.dtype)[None, :, None]
+            return y
+        y = x @ kernel.astype(x.dtype)
+        if bias is not None:
             y = y + bias.astype(y.dtype)
         return y
 
@@ -199,6 +233,24 @@ class MultiDirMambaLayer(nn.Module):
     use_bias: bool = False
     use_pallas: bool = True
 
+    def _direction_weights(self, spec, n_dir):
+        """Per-direction combine weights (shared by both layout paths)."""
+        if spec.combine == "softmax10":
+            # the reference's self.weights is ALWAYS a 10-slot parameter
+            # softmaxed over all 10 slots, of which the first n_dir are
+            # used (ref: :360 + :607/:700/:970)
+            gate_w = self.param("direction_gate", nn.initializers.zeros,
+                                (10,))
+            return nn.softmax(gate_w)[:n_dir]
+        if spec.combine == "raw10":
+            # eight_directions_gate applies NO softmax (ref: :514-515)
+            gate_w = self.param("direction_gate", nn.initializers.zeros,
+                                (10,))
+            return gate_w[:n_dir]
+        if spec.combine == "mean":
+            return jnp.full((n_dir,), 1.0 / n_dir)
+        return jnp.ones((n_dir,))                             # 'none'
+
     def _shuffle_key(self):
         """Per-call random permutation key (torch.randperm upstream draws
         from the ambient RNG on every forward, train AND eval,
@@ -243,22 +295,85 @@ class MultiDirMambaLayer(nn.Module):
         proj = nn.Dense(2 * d, use_bias=self.use_bias, name="in_proj")(x)
         u, gate = jnp.split(proj, 2, axis=-1)                 # (B, L, d)
 
+        conv = CausalDWConv(d, self.conv_kernel,
+                            use_bias=self.use_conv_bias, name="conv1d")
+        x_proj = DualLayoutDense(tsr + 2 * n, use_bias=False, name="x_proj")
+        dt_std = tsr ** -0.5
+        dt_proj = DualLayoutDense(d, use_bias=True,
+                                  kernel_init=nn.initializers.uniform(
+                                      scale=2 * dt_std),
+                                  bias_init=_dt_bias_init, name="dt_proj")
+        A_log = self.param("A_log", _a_log_init(n), (d, n))
+        A = -jnp.exp(A_log)
+        D = self.param("D", nn.initializers.ones, (d,))
+
+        # ---- lane-major fast path --------------------------------------
+        # The whole SSM-input pipeline (permute -> causal conv -> SiLU ->
+        # x_proj -> dt_proj -> scan -> weighted inverse-permute sum) runs
+        # in the Pallas kernel's (L, ch, batch) layout: the directional
+        # one-hot matmul EMITS lane-major, conv uses WCN dimension
+        # numbers, projections contract in-layout, and the kernel does no
+        # edge transposes (lane_major_io) — this removes all 10 per-layer
+        # (b, L, ch) <-> (L, ch, b) HBM transposes (perf/ROOFLINE.md r3,
+        # perf/mixer_lane_sweep.py). bf16-only: the one-hot permute
+        # matmuls are bit-exact only in bf16 (see permute_tokens).
+        env = os.environ.get("VCT_LANE_MAJOR", "")
+        lane = (self.use_pallas and spec.combine != "dynamic"
+                and u.dtype == jnp.bfloat16 and env != "0"
+                and (jax.default_backend() == "tpu" or env == "force"))
+        if lane:
+            P = jax.nn.one_hot(perms, L, dtype=u.dtype)       # (nb, L, L)
+            u_lm = jnp.einsum("nls,bsc->lcnb", P, u)
+            u_lm = u_lm.reshape(L, d, nb * b)
+
+            def ssm_inputs_lane(uc):
+                uc = nn.silu(uc)
+                ssm = x_proj(uc, lane_major=True)
+                dt, B_, C_ = jnp.split(ssm, [tsr, tsr + n], axis=1)
+                dt = nn.softplus(dt_proj(dt, lane_major=True))
+                return uc, dt, B_, C_
+
+            uf, dtf, Bf, Cf = ssm_inputs_lane(conv(u_lm, lane_major=True))
+            y_fwd = selective_scan_auto(uf, dtf, A, Bf, Cf, D,
+                                        use_pallas=self.use_pallas,
+                                        lane_major_io=True)
+            y_fwd = y_fwd.reshape(L, d, nb, b)
+
+            y_rev = None
+            if rev_rows:
+                ri = jnp.asarray(rev_rows)
+                u_r = u_lm.reshape(L, d, nb, b)[:, :, ri]
+                u_r = u_r.reshape(L, d, len(rev_rows) * b)
+                ur, dtr, Br, Cr = ssm_inputs_lane(
+                    conv(u_r, reverse=True, lane_major=True))
+                y_rev = selective_scan_auto(ur, dtr, A, Br, Cr, D,
+                                            use_pallas=self.use_pallas,
+                                            reverse=True, lane_major_io=True)
+                y_rev = y_rev.reshape(L, d, len(rev_rows), b)
+
+            w = self._direction_weights(spec, n_dir)
+            combined = y_fwd * w[jnp.asarray(fwd_dir_all)].astype(
+                y_fwd.dtype)[None, None, :, None]
+            if y_rev is not None:
+                w_rev = w[jnp.asarray([rev_dir[i] for i in rev_rows])]
+                combined = combined.at[:, :, jnp.asarray(rev_rows)].add(
+                    y_rev * w_rev.astype(y_rev.dtype)[None, None, :, None])
+            # fused inverse scatter + direction sum, consuming lane-major
+            # directly (f32 accumulation via preferred_element_type)
+            Pi = jax.nn.one_hot(inv_perms, L, dtype=combined.dtype)
+            y = jnp.einsum("nls,scnb->blc", Pi, combined,
+                           preferred_element_type=jnp.float32
+                           ).astype(combined.dtype)
+            out_proj = nn.Dense(self.hidden_size, use_bias=self.use_bias,
+                                name="out_proj")
+            y = y * nn.silu(gate)
+            return out_proj(y)
+
+        # ---- generic path ----------------------------------------------
         # permute u once per base ordering, fold into batch (one-hot MXU
         # matmul in bf16, gather in f32 — see permute_tokens)
         u_g = permute_tokens(u, perms)                        # (nb, B, L, d)
         u_g = u_g.reshape(nb * b, L, d)
-
-        conv = CausalDWConv(d, self.conv_kernel,
-                            use_bias=self.use_conv_bias, name="conv1d")
-        x_proj = nn.Dense(tsr + 2 * n, use_bias=False, name="x_proj")
-        dt_std = tsr ** -0.5
-        dt_proj = nn.Dense(d, use_bias=True,
-                           kernel_init=nn.initializers.uniform(
-                               scale=2 * dt_std),
-                           bias_init=_dt_bias_init, name="dt_proj")
-        A_log = self.param("A_log", _a_log_init(n), (d, n))
-        A = -jnp.exp(A_log)
-        D = self.param("D", nn.initializers.ones, (d,))
 
         def ssm_inputs(uc):
             uc = nn.silu(uc)
@@ -316,23 +431,7 @@ class MultiDirMambaLayer(nn.Module):
             y = jnp.einsum("nbld,bn->bld", g, dyn)
             return out_proj(y)
 
-        if spec.combine == "softmax10":
-            # the reference's self.weights is ALWAYS a 10-slot parameter
-            # softmaxed over all 10 slots, of which the first n_dir are
-            # used (ref: :360 + :607/:700/:970)
-            gate_w = self.param("direction_gate", nn.initializers.zeros,
-                                (10,))
-            w = nn.softmax(gate_w)[:n_dir]
-        elif spec.combine == "raw10":
-            # eight_directions_gate applies NO softmax (ref: :514-515)
-            gate_w = self.param("direction_gate", nn.initializers.zeros,
-                                (10,))
-            w = gate_w[:n_dir]
-        elif spec.combine == "mean":
-            w = jnp.full((n_dir,), 1.0 / n_dir)
-        else:                                                 # 'none'
-            w = jnp.ones((n_dir,))
-
+        w = self._direction_weights(spec, n_dir)
         combined = y_fwd * w[jnp.asarray(fwd_dir_all)][:, None, None, None]
         if y_rev is not None:
             w_rev = w[jnp.asarray([rev_dir[i] for i in rev_rows])]

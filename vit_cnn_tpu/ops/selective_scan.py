@@ -106,24 +106,36 @@ def _scan_kernel(u_ref, dt_ref, At_ref, b_ref, c_ref, d_ref, y_ref,
         y_ref[t0:t0 + tc] = y_c.astype(y_ref.dtype)
 
 
-def _pallas_forward(u, dt, A, B, C, D, block_b: int, reverse: bool = False):
+def _pallas_forward(u, dt, A, B, C, D, block_b: int, reverse: bool = False,
+                    lane_major_io: bool = False):
     # Sequence inputs stream into the kernel in their own dtype (bf16 under
     # the mixed-precision policy — half the HBM traffic); the kernel widens
     # each chunk to f32 on load. A/D are tiny and always f32. The (b, L, ch)
-    # -> (L, ch, b) transposes in/out are plain XLA copies; at the flagship
-    # batch they cost far less than the lane-utilization win (ROOFLINE.md).
+    # -> (L, ch, b) transposes in/out are plain XLA copies; with
+    # ``lane_major_io`` the caller supplies/consumes (L, ch, b) arrays
+    # directly and they disappear entirely (the round-3 mixer pipeline
+    # computes its conv/projections in that layout; perf/ROOFLINE.md).
     A = A.astype(jnp.float32)
     D = D.astype(jnp.float32)
-    b, L, d = u.shape
+    if lane_major_io:
+        L, d, b = u.shape
+        pad = (-b) % block_b
+        if pad:
+            z = lambda x: jnp.concatenate(
+                [x, jnp.zeros(x.shape[:2] + (pad,), x.dtype)], axis=2)
+            u, dt, B, C = z(u), z(dt), z(B), z(C)
+        bt = u.shape[2]
+    else:
+        b, L, d = u.shape
+        pad = (-b) % block_b
+        if pad:
+            z = lambda x: jnp.concatenate(
+                [x, jnp.zeros((pad,) + x.shape[1:], x.dtype)], axis=0)
+            u, dt, B, C = z(u), z(dt), z(B), z(C)
+        bt = u.shape[0]
+        tp = lambda x: jnp.transpose(x, (1, 2, 0))
+        u, dt, B, C = tp(u), tp(dt), tp(B), tp(C)
     n = A.shape[-1]
-    pad = (-b) % block_b
-    if pad:
-        z = lambda x: jnp.concatenate(
-            [x, jnp.zeros((pad,) + x.shape[1:], x.dtype)], axis=0)
-        u, dt, B, C = z(u), z(dt), z(B), z(C)
-    bt = u.shape[0]
-    tp = lambda x: jnp.transpose(x, (1, 2, 0))
-    u, dt, B, C = tp(u), tp(dt), tp(B), tp(C)
 
     grid = (bt // block_b,)
     seq_spec = lambda ch: pl.BlockSpec((L, ch, block_b),
@@ -143,6 +155,8 @@ def _pallas_forward(u, dt, A, B, C, D, block_b: int, reverse: bool = False):
         out_specs=seq_spec(d),
         out_shape=jax.ShapeDtypeStruct((L, d, bt), u.dtype),
     )(u, dt, A.T, B, C, D[None])
+    if lane_major_io:
+        return y[:, :, :b]
     return jnp.transpose(y, (2, 0, 1))[:b]
 
 
@@ -260,21 +274,30 @@ def _scan_bwd_kernel(u_ref, dt_ref, At_ref, b_ref, c_ref, d_ref, g_ref,
 
 
 def _pallas_backward(u, dt, A, B, C, D, g, block_b: int,
-                     reverse: bool = False):
+                     reverse: bool = False, lane_major_io: bool = False):
     in_dtypes = (u.dtype, dt.dtype, A.dtype, B.dtype, C.dtype, D.dtype)
     u, dt, B, C, g = (x.astype(jnp.float32) for x in (u, dt, B, C, g))
     A = A.astype(jnp.float32)
     D = D.astype(jnp.float32)
-    b, L, d = u.shape
     n = A.shape[-1]
-    pad = (-b) % block_b
-    if pad:
-        z = lambda x: jnp.concatenate(
-            [x, jnp.zeros((pad,) + x.shape[1:], x.dtype)], axis=0)
-        u, dt, B, C, g = z(u), z(dt), z(B), z(C), z(g)
-    bt = u.shape[0]
-    tp = lambda x: jnp.transpose(x, (1, 2, 0))
-    u, dt, B, C, g = tp(u), tp(dt), tp(B), tp(C), tp(g)
+    if lane_major_io:
+        L, d, b = u.shape
+        pad = (-b) % block_b
+        if pad:
+            z = lambda x: jnp.concatenate(
+                [x, jnp.zeros(x.shape[:2] + (pad,), x.dtype)], axis=2)
+            u, dt, B, C, g = z(u), z(dt), z(B), z(C), z(g)
+        bt = u.shape[2]
+    else:
+        b, L, d = u.shape
+        pad = (-b) % block_b
+        if pad:
+            z = lambda x: jnp.concatenate(
+                [x, jnp.zeros((pad,) + x.shape[1:], x.dtype)], axis=0)
+            u, dt, B, C, g = z(u), z(dt), z(B), z(C), z(g)
+        bt = u.shape[0]
+        tp = lambda x: jnp.transpose(x, (1, 2, 0))
+        u, dt, B, C, g = tp(u), tp(dt), tp(B), tp(C), tp(g)
 
     seq_spec = lambda ch: pl.BlockSpec((L, ch, block_b),
                                        lambda i: (0, 0, i),
@@ -298,26 +321,43 @@ def _pallas_backward(u, dt, A, B, C, D, g, block_b: int,
                    jax.ShapeDtypeStruct((n, d), f32),
                    jax.ShapeDtypeStruct((1, d), f32)],
     )(u, dt, A.T, B, C, D[None], g)
-    bk = lambda x: jnp.transpose(x, (2, 0, 1))[:b]
+    if lane_major_io:
+        bk = lambda x: x[:, :, :b]
+    else:
+        bk = lambda x: jnp.transpose(x, (2, 0, 1))[:b]
     outs = (bk(du), bk(ddt), dA.T, bk(dB), bk(dC), dD[0])
     return tuple(o.astype(t) for o, t in zip(outs, in_dtypes))
 
 
-@partial(jax.custom_vjp, nondiff_argnums=(6, 7))
+@partial(jax.custom_vjp, nondiff_argnums=(6, 7, 8))
 def selective_scan_pallas(u, dt, A, B, C, D, block_b: int = 128,
-                          reverse: bool = False):
-    return _pallas_forward(u, dt, A, B, C, D, block_b, reverse)
+                          reverse: bool = False,
+                          lane_major_io: bool = False):
+    """``lane_major_io=True``: u/dt (L, d, b), B/C (L, n, b), y (L, d, b) —
+    the kernel's native layout, no edge transposes."""
+    return _pallas_forward(u, dt, A, B, C, D, block_b, reverse,
+                           lane_major_io)
 
 
-def _fwd(u, dt, A, B, C, D, block_b, reverse):
-    return (_pallas_forward(u, dt, A, B, C, D, block_b, reverse),
+def _fwd(u, dt, A, B, C, D, block_b, reverse, lane_major_io):
+    return (_pallas_forward(u, dt, A, B, C, D, block_b, reverse,
+                            lane_major_io),
             (u, dt, A, B, C, D))
 
 
-def _bwd(block_b, reverse, res, g):
+def _bwd(block_b, reverse, lane_major_io, res, g):
     u, dt, A, B, C, D = res
     if jax.default_backend() == "tpu":
-        return _pallas_backward(u, dt, A, B, C, D, g, block_b, reverse)
+        return _pallas_backward(u, dt, A, B, C, D, g, block_b, reverse,
+                                lane_major_io)
+    if lane_major_io:
+        bm = lambda x: jnp.transpose(x, (2, 0, 1))
+        _, vjp = jax.vjp(partial(selective_scan, reverse=reverse),
+                         bm(u), bm(dt), A, bm(B), bm(C), D)
+        outs = vjp(bm(g))
+        lm = lambda x: jnp.transpose(x, (1, 2, 0))
+        return (lm(outs[0]), lm(outs[1]), outs[2], lm(outs[3]),
+                lm(outs[4]), outs[5])
     _, vjp = jax.vjp(partial(selective_scan, reverse=reverse),
                      u, dt, A, B, C, D)
     return vjp(g)
@@ -327,8 +367,15 @@ selective_scan_pallas.defvjp(_fwd, _bwd)
 
 
 def selective_scan_auto(u, dt, A, B, C, D, use_pallas: bool = True,
-                        block_b: int = 128, reverse: bool = False):
+                        block_b: int = 128, reverse: bool = False,
+                        lane_major_io: bool = False):
     """Pallas kernel on TPU, associative scan elsewhere (CPU tests)."""
     if use_pallas and jax.default_backend() == "tpu":
-        return selective_scan_pallas(u, dt, A, B, C, D, block_b, reverse)
+        return selective_scan_pallas(u, dt, A, B, C, D, block_b, reverse,
+                                     lane_major_io)
+    if lane_major_io:
+        bm = lambda x: jnp.transpose(x, (2, 0, 1))
+        y = selective_scan(bm(u), bm(dt), A, bm(B), bm(C), D,
+                           reverse=reverse)
+        return jnp.transpose(y, (1, 2, 0))
     return selective_scan(u, dt, A, B, C, D, reverse=reverse)

@@ -83,11 +83,17 @@ def gather_patches(img: jnp.ndarray, centers: jnp.ndarray,
     scene. Centers must be valid interior pixels (no clamping surprises).
 
     One advanced-indexing gather HLO (C-contiguous rows) — 2.1x faster on
-    TPU than a vmapped ``lax.dynamic_slice`` (perf/gather_sweep.py)."""
+    TPU than a vmapped ``lax.dynamic_slice`` (perf/gather_sweep.py).
+    Index grids are clamped to the scene so a non-interior center degrades
+    to edge replication (like the dynamic_slice this replaced) instead of
+    silently wrapping to the opposite edge; current callers only pass
+    interior centers (interior_indices) so the clamp is a no-op for them."""
     p = patch_size // 2
     di = jnp.arange(patch_size) - p
     r = centers[:, 0, None, None] + di[None, :, None]
     c = centers[:, 1, None, None] + di[None, None, :]
+    r = jnp.clip(r, 0, img.shape[0] - 1)
+    c = jnp.clip(c, 0, img.shape[1] - 1)
     return img[r, c]
 
 
