@@ -153,3 +153,38 @@ def test_lane_major_path_matches_generic(monkeypatch):
     monkeypatch.delenv("VCT_LANE_MAJOR")
     ref = np.asarray(layer.apply(variables, x), np.float32)
     np.testing.assert_allclose(got, ref, rtol=1e-1, atol=1e-1)
+
+
+def test_lane_major_gradients_match_generic(monkeypatch):
+    """The fused directional kernels are custom_vjp with reference-formula
+    backwards; gradients through the lane path must match the generic
+    path (bf16 tolerance)."""
+    from vit_cnn_tpu.nn.precision import cast_floating
+
+    hidden, inter = 24, 12
+    L = 9
+    key = jax.random.PRNGKey(5)
+    x = jax.random.normal(key, (4, L, hidden))
+    layer = MultiDirMambaLayer(hidden, inter, path_type="9_2+8",
+                               use_pallas=True)
+    variables = layer.init({"params": key}, x)
+    vb = cast_floating(variables["params"], jnp.bfloat16)
+    xb = x.astype(jnp.bfloat16)
+
+    def loss(params, xx):
+        return jnp.sum(layer.apply({"params": params}, xx)
+                       .astype(jnp.float32) ** 2)
+
+    monkeypatch.setenv("VCT_LANE_MAJOR", "0")
+    g_ref = jax.grad(loss)(vb, xb)
+    monkeypatch.setenv("VCT_LANE_MAJOR", "force")
+    g_lane = jax.grad(loss)(vb, xb)
+    flat_r, _ = jax.tree_util.tree_flatten_with_path(g_ref)
+    flat_l, _ = jax.tree_util.tree_flatten_with_path(g_lane)
+    for (path, r), (_, l) in zip(flat_r, flat_l):
+        r = np.asarray(r, np.float32)
+        l = np.asarray(l, np.float32)
+        scale = max(np.max(np.abs(r)), 1e-3)
+        np.testing.assert_allclose(
+            l / scale, r / scale, rtol=0, atol=6e-2,
+            err_msg=f"gradient diverged on lane path: {path}")

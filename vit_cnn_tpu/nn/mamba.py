@@ -72,10 +72,17 @@ class CausalDWConv(nn.Module):
     use_bias: bool = True
 
     @nn.compact
-    def __call__(self, x, reverse: bool = False, lane_major: bool = False):
+    def __call__(self, x=None, reverse: bool = False,
+                 lane_major: bool = False):
         k = self.kernel_size
         kernel = self.param("kernel", nn.initializers.lecun_normal(),
                             (k, 1, self.features))
+        if x is None:
+            # params-only mode: the fused directional kernel
+            # (ops/dirstream.py) consumes the raw taps/bias directly
+            bias = (self.param("bias", nn.initializers.zeros,
+                               (self.features,)) if self.use_bias else None)
+            return kernel, bias
         if reverse:
             kernel = jnp.flip(kernel, axis=0)
         pad = [(0, k - 1)] if reverse else [(k - 1, 0)]
@@ -107,13 +114,15 @@ class DualLayoutDense(nn.Module):
 
     @nn.compact
     def __call__(self, x, lane_major: bool = False):
-        in_dim = x.shape[1] if lane_major else x.shape[-1]
+        in_dim = x.shape[-2] if lane_major else x.shape[-1]
         kernel = self.param("kernel", self.kernel_init,
                             (in_dim, self.features))
         bias = (self.param("bias", self.bias_init, (self.features,))
                 if self.use_bias else None)
         if lane_major:
-            y = jnp.einsum("lcb,ck->lkb", x, kernel.astype(x.dtype))
+            # (..., in, b) -> (..., out, b): works for (L, in, b) and the
+            # 4D directional-stream (ns, L, in, b)
+            y = jnp.einsum("...cb,ck->...kb", x, kernel.astype(x.dtype))
             if bias is not None:
                 y = y + bias.astype(y.dtype)[None, :, None]
             return y
@@ -307,63 +316,65 @@ class MultiDirMambaLayer(nn.Module):
         A = -jnp.exp(A_log)
         D = self.param("D", nn.initializers.ones, (d,))
 
-        # ---- lane-major fast path --------------------------------------
-        # The whole SSM-input pipeline (permute -> causal conv -> SiLU ->
-        # x_proj -> dt_proj -> scan -> weighted inverse-permute sum) runs
-        # in the Pallas kernel's (L, ch, batch) layout: the directional
-        # one-hot matmul EMITS lane-major, conv uses WCN dimension
-        # numbers, projections contract in-layout, and the kernel does no
-        # edge transposes (lane_major_io) — this removes all 10 per-layer
-        # (b, L, ch) <-> (L, ch, b) HBM transposes (perf/ROOFLINE.md r3,
-        # perf/mixer_lane_sweep.py). bf16-only: the one-hot permute
-        # matmuls are bit-exact only in bf16 (see permute_tokens).
+        # ---- lane-major fused-direction fast path ----------------------
+        # The whole directional pipeline runs in the Pallas kernels'
+        # (L, ch, batch) layout with the direction axis explicit:
+        # ONE fused kernel does every static permute + causal/anti-causal
+        # depthwise conv + SiLU from a single HBM read of u
+        # (ops/dirstream.py — replaces the one-hot permute matmuls, the
+        # two XLA convs and their HBM round-trips), the projections
+        # contract in-layout, the scan consumes the 4D stream block
+        # without any transpose (lane_major_io), and a second fused
+        # kernel does the weighted inverse-permute direction sum with f32
+        # accumulation. Exactly 2 layout transposes remain per layer
+        # (u in, y out). bf16 + static orderings only (shuffle paths keep
+        # the generic batch-major formulation).
         env = os.environ.get("VCT_LANE_MAJOR", "")
         lane = (self.use_pallas and spec.combine != "dynamic"
+                and spec.n_shuffle == 0
                 and u.dtype == jnp.bfloat16 and env != "0"
                 and (jax.default_backend() == "tpu" or env == "force"))
         if lane:
-            P = jax.nn.one_hot(perms, L, dtype=u.dtype)       # (nb, L, L)
-            u_lm = jnp.einsum("nls,bsc->lcnb", P, u)
-            u_lm = u_lm.reshape(L, d, nb * b)
+            from ..ops.dirstream import dir_conv_silu, inv_perm_weighted_sum
+
+            u_lm = jnp.transpose(u, (1, 2, 0))                # (L, d, B)
+            cwk, cbb = conv(None)
+            cw = cwk[:, 0, :]
+            cb = cbb if cbb is not None else jnp.zeros((d,), cwk.dtype)
+            orders_t = tuple(tuple(int(v) for v in orders[i])
+                             for i in bases)
+            inv_t = tuple(tuple(int(v) for v in
+                                inverse_permutation(orders[i]))
+                          for i in bases)
+            rr = tuple(rev_rows)
+            uf, ur = dir_conv_silu(u_lm, cw.astype(u_lm.dtype),
+                                   cb.astype(u_lm.dtype), orders_t, rr)
 
             def ssm_inputs_lane(uc):
-                uc = nn.silu(uc)
                 ssm = x_proj(uc, lane_major=True)
-                dt, B_, C_ = jnp.split(ssm, [tsr, tsr + n], axis=1)
+                dt, B_, C_ = jnp.split(ssm, [tsr, tsr + n], axis=-2)
                 dt = nn.softplus(dt_proj(dt, lane_major=True))
-                return uc, dt, B_, C_
+                return dt, B_, C_
 
-            uf, dtf, Bf, Cf = ssm_inputs_lane(conv(u_lm, lane_major=True))
+            dtf, Bf, Cf = ssm_inputs_lane(uf)
             y_fwd = selective_scan_auto(uf, dtf, A, Bf, Cf, D,
                                         use_pallas=self.use_pallas,
-                                        lane_major_io=True)
-            y_fwd = y_fwd.reshape(L, d, nb, b)
-
-            y_rev = None
+                                        lane_major_io=True)  # (nb,L,d,B)
             if rev_rows:
-                ri = jnp.asarray(rev_rows)
-                u_r = u_lm.reshape(L, d, nb, b)[:, :, ri]
-                u_r = u_r.reshape(L, d, len(rev_rows) * b)
-                ur, dtr, Br, Cr = ssm_inputs_lane(
-                    conv(u_r, reverse=True, lane_major=True))
+                dtr, Br, Cr = ssm_inputs_lane(ur)
                 y_rev = selective_scan_auto(ur, dtr, A, Br, Cr, D,
                                             use_pallas=self.use_pallas,
-                                            reverse=True, lane_major_io=True)
-                y_rev = y_rev.reshape(L, d, len(rev_rows), b)
-
-            w = self._direction_weights(spec, n_dir)
-            combined = y_fwd * w[jnp.asarray(fwd_dir_all)].astype(
-                y_fwd.dtype)[None, None, :, None]
-            if y_rev is not None:
-                w_rev = w[jnp.asarray([rev_dir[i] for i in rev_rows])]
-                combined = combined.at[:, :, jnp.asarray(rev_rows)].add(
-                    y_rev * w_rev.astype(y_rev.dtype)[None, None, :, None])
-            # fused inverse scatter + direction sum, consuming lane-major
-            # directly (f32 accumulation via preferred_element_type)
-            Pi = jax.nn.one_hot(inv_perms, L, dtype=combined.dtype)
-            y = jnp.einsum("nls,scnb->blc", Pi, combined,
-                           preferred_element_type=jnp.float32
-                           ).astype(combined.dtype)
+                                            reverse=True,
+                                            lane_major_io=True)
+                w = self._direction_weights(spec, n_dir)
+                wr = w[jnp.asarray([rev_dir[i] for i in rev_rows])]
+            else:
+                y_rev = jnp.zeros((0,) + y_fwd.shape[1:], y_fwd.dtype)
+                w = self._direction_weights(spec, n_dir)
+                wr = jnp.zeros((0,), w.dtype)
+            wf = w[jnp.asarray(fwd_dir_all)]
+            y = inv_perm_weighted_sum(y_fwd, y_rev, wf, wr, inv_t, rr)
+            y = jnp.transpose(y, (2, 0, 1))                   # (B, L, d)
             out_proj = nn.Dense(self.hidden_size, use_bias=self.use_bias,
                                 name="out_proj")
             y = y * nn.silu(gate)

@@ -58,7 +58,8 @@ def selective_scan(u, dt, A, B, C, D, reverse: bool = False):
 # ---------------------------------------------------------------------------
 
 def _scan_kernel(u_ref, dt_ref, At_ref, b_ref, c_ref, d_ref, y_ref,
-                 time_chunk: int = 8, reverse: bool = False):
+                 time_chunk: int = 8, reverse: bool = False,
+                 squeeze_lead: bool = False):
     """One grid cell scans `bb` sequences in a LANE-MAJOR layout.
 
     Performance shape (measured in perf/scan_sweep.py, see perf/ROOFLINE.md):
@@ -73,8 +74,13 @@ def _scan_kernel(u_ref, dt_ref, At_ref, b_ref, c_ref, d_ref, y_ref,
     is f32 even when inputs stream in bf16 (bf16 state feedback diverges
     over L steps).
     """
-    L, d, bb = u_ref.shape
-    n = b_ref.shape[1]
+    # squeeze_lead: blocks are (1, L, ch, bb) — one directional stream of a
+    # 4D (n_streams, L, ch, batch) array per grid cell (see the lane-major
+    # fused-direction pipeline in nn/mamba.py)
+    L, d, bb = u_ref.shape[-3:]
+    n = b_ref.shape[-2]
+    rd = ((lambda ref, a, b: ref[0, a:b]) if squeeze_lead
+          else (lambda ref, a, b: ref[a:b]))
     At = At_ref[...].astype(jnp.float32)   # (n, d): A.T for the (n, d) layout
     Dv = d_ref[...].astype(jnp.float32)    # (1, d)
 
@@ -85,10 +91,10 @@ def _scan_kernel(u_ref, dt_ref, At_ref, b_ref, c_ref, d_ref, y_ref,
     for c in chunk_order:                          # static unroll over chunks
         t0 = c * time_chunk
         tc = min(time_chunk, L - t0)
-        dt_c = dt_ref[t0:t0 + tc].astype(jnp.float32)         # (Tc, d, bb)
-        u_c = u_ref[t0:t0 + tc].astype(jnp.float32)
-        B_c = b_ref[t0:t0 + tc].astype(jnp.float32)           # (Tc, n, bb)
-        C_c = c_ref[t0:t0 + tc].astype(jnp.float32)
+        dt_c = rd(dt_ref, t0, t0 + tc).astype(jnp.float32)    # (Tc, d, bb)
+        u_c = rd(u_ref, t0, t0 + tc).astype(jnp.float32)
+        B_c = rd(b_ref, t0, t0 + tc).astype(jnp.float32)      # (Tc, n, bb)
+        C_c = rd(c_ref, t0, t0 + tc).astype(jnp.float32)
         # vectorized across the whole chunk: one exp, one product tree
         dA_c = jnp.exp(dt_c[:, None] * At[None, :, :, None])  # (Tc, n, d, bb)
         dBu_c = (dt_c * u_c)[:, None] * B_c[:, :, None, :]
@@ -103,7 +109,10 @@ def _scan_kernel(u_ref, dt_ref, At_ref, b_ref, c_ref, d_ref, y_ref,
         H_c = jnp.stack(hs, axis=0)                # (Tc, n, d, bb)
         y_c = jnp.sum(C_c[:, :, None, :] * H_c, axis=1) \
             + Dv[..., None] * u_c
-        y_ref[t0:t0 + tc] = y_c.astype(y_ref.dtype)
+        if squeeze_lead:
+            y_ref[0, t0:t0 + tc] = y_c.astype(y_ref.dtype)
+        else:
+            y_ref[t0:t0 + tc] = y_c.astype(y_ref.dtype)
 
 
 def _pallas_forward(u, dt, A, B, C, D, block_b: int, reverse: bool = False,
@@ -117,6 +126,37 @@ def _pallas_forward(u, dt, A, B, C, D, block_b: int, reverse: bool = False,
     # computes its conv/projections in that layout; perf/ROOFLINE.md).
     A = A.astype(jnp.float32)
     D = D.astype(jnp.float32)
+    if lane_major_io and u.ndim == 4:
+        # (n_streams, L, ch, batch): one directional stream per grid row,
+        # batch blocks per grid column — no transposes, no stream folding
+        ns, L, d, b = u.shape
+        n = A.shape[-1]
+        pad = (-b) % block_b
+        if pad:
+            z = lambda x: jnp.concatenate(
+                [x, jnp.zeros(x.shape[:3] + (pad,), x.dtype)], axis=3)
+            u, dt, B, C = z(u), z(dt), z(B), z(C)
+        bt = u.shape[3]
+        seq_spec = lambda ch: pl.BlockSpec(
+            (1, L, ch, block_b), lambda s, i: (s, 0, 0, i),
+            memory_space=pltpu.VMEM)
+        y = pl.pallas_call(
+            partial(_scan_kernel, reverse=reverse, squeeze_lead=True),
+            grid=(ns, bt // block_b),
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=100 * 1024 * 1024),
+            in_specs=[
+                seq_spec(d), seq_spec(d),
+                pl.BlockSpec((n, d), lambda s, i: (0, 0),
+                             memory_space=pltpu.VMEM),
+                seq_spec(n), seq_spec(n),
+                pl.BlockSpec((1, d), lambda s, i: (0, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=seq_spec(d),
+            out_shape=jax.ShapeDtypeStruct((ns, L, d, bt), u.dtype),
+        )(u, dt, A.T, B, C, D[None])
+        return y[..., :b]
     if lane_major_io:
         L, d, b = u.shape
         pad = (-b) % block_b
@@ -174,7 +214,8 @@ def _pallas_forward(u, dt, A, B, C, D, block_b: int, reverse: bool = False,
 
 def _scan_bwd_kernel(u_ref, dt_ref, At_ref, b_ref, c_ref, d_ref, g_ref,
                      du_ref, ddt_ref, db_ref, dc_ref, dA_ref, dD_ref,
-                     time_chunk: int = 4, reverse: bool = False):
+                     time_chunk: int = 4, reverse: bool = False,
+                     squeeze_lead: bool = False):
     """Lane-major adjoint kernel: same (L, ch, bb) layout as the forward
     (batch on the 128-lane axis), state/adjoint carried as (n, d, bb).
 
@@ -184,12 +225,16 @@ def _scan_bwd_kernel(u_ref, dt_ref, At_ref, b_ref, c_ref, d_ref, g_ref,
     iterations — Tc=8 overflows VMEM (204M of 128M) at the flagship's
     widened train shapes, Tc=4 fits and times identically to Tc=2
     (perf/bwd_sweep.py, 2026-08-16: stage1 9.8 ms, stage2 8.0 ms)."""
-    L, d, bb = u_ref.shape
-    n = b_ref.shape[1]
+    L, d, bb = u_ref.shape[-3:]
+    n = b_ref.shape[-2]
     At = At_ref[...].astype(jnp.float32)            # (n, d)
     Dv = d_ref[...].astype(jnp.float32)             # (1, d)
 
-    @pl.when(pl.program_id(0) == 0)
+    first = pl.program_id(0) == 0
+    if squeeze_lead:
+        first = first & (pl.program_id(1) == 0)
+
+    @pl.when(first)
     def _init():
         dA_ref[...] = jnp.zeros_like(dA_ref)
         dD_ref[...] = jnp.zeros_like(dD_ref)
@@ -199,8 +244,18 @@ def _scan_bwd_kernel(u_ref, dt_ref, At_ref, b_ref, c_ref, d_ref, g_ref,
     if reverse:                      # a reverse scan's adjoint runs forward
         fwd_chunks = fwd_chunks[::-1]
 
-    def load(ref, t0, tc):
-        return ref[t0:t0 + tc].astype(jnp.float32)
+    if squeeze_lead:
+        def load(ref, t0, tc):
+            return ref[0, t0:t0 + tc].astype(jnp.float32)
+
+        def store(ref, t0, tc, val):
+            ref[0, t0:t0 + tc] = val
+    else:
+        def load(ref, t0, tc):
+            return ref[t0:t0 + tc].astype(jnp.float32)
+
+        def store(ref, t0, tc, val):
+            ref[t0:t0 + tc] = val
 
     def chunk_steps(tc):
         return range(tc - 1, -1, -1) if reverse else range(tc)
@@ -259,13 +314,13 @@ def _scan_bwd_kernel(u_ref, dt_ref, At_ref, b_ref, c_ref, d_ref, g_ref,
         ddA_c = Lam_c * Hp_c
         S_c = jnp.sum(Lam_c * B_c[:, :, None, :], axis=1)     # (Tc, d, bb)
         T_c = jnp.sum(ddA_c * dA_c * At[None, :, :, None], axis=1)
-        ddt_ref[t0:t0 + tc] = (T_c + u_c * S_c).astype(ddt_ref.dtype)
-        du_ref[t0:t0 + tc] = (dt_c * S_c + Dv[..., None] * g_c).astype(
-            du_ref.dtype)
-        db_ref[t0:t0 + tc] = jnp.sum(
-            Lam_c * (dt_c * u_c)[:, None], axis=2).astype(db_ref.dtype)
-        dc_ref[t0:t0 + tc] = jnp.sum(
-            H_c * g_c[:, None], axis=2).astype(dc_ref.dtype)
+        store(ddt_ref, t0, tc, (T_c + u_c * S_c).astype(ddt_ref.dtype))
+        store(du_ref, t0, tc,
+              (dt_c * S_c + Dv[..., None] * g_c).astype(du_ref.dtype))
+        store(db_ref, t0, tc, jnp.sum(
+            Lam_c * (dt_c * u_c)[:, None], axis=2).astype(db_ref.dtype))
+        store(dc_ref, t0, tc, jnp.sum(
+            H_c * g_c[:, None], axis=2).astype(dc_ref.dtype))
         dA_total += jnp.sum(ddA_c * dA_c * dt_c[:, None], axis=(0, 3))
         dD_total += jnp.sum(g_c * u_c, axis=(0, 2))[None]
 
@@ -280,6 +335,40 @@ def _pallas_backward(u, dt, A, B, C, D, g, block_b: int,
     A = A.astype(jnp.float32)
     D = D.astype(jnp.float32)
     n = A.shape[-1]
+    if lane_major_io and u.ndim == 4:
+        ns, L, d, b = u.shape
+        pad = (-b) % block_b
+        if pad:
+            z = lambda x: jnp.concatenate(
+                [x, jnp.zeros(x.shape[:3] + (pad,), x.dtype)], axis=3)
+            u, dt, B, C, g = z(u), z(dt), z(B), z(C), z(g)
+        bt = u.shape[3]
+        seq_spec = lambda ch: pl.BlockSpec(
+            (1, L, ch, block_b), lambda s, i: (s, 0, 0, i),
+            memory_space=pltpu.VMEM)
+        fix_spec = lambda sh: pl.BlockSpec(sh, lambda s, i: (0,) * len(sh),
+                                           memory_space=pltpu.VMEM)
+        f32 = jnp.float32
+        du, ddt, dB, dC, dA, dD = pl.pallas_call(
+            partial(_scan_bwd_kernel, reverse=reverse, squeeze_lead=True),
+            grid=(ns, bt // block_b),
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=100 * 1024 * 1024),
+            in_specs=[seq_spec(d), seq_spec(d), fix_spec((n, d)),
+                      seq_spec(n), seq_spec(n), fix_spec((1, d)),
+                      seq_spec(d)],
+            out_specs=[seq_spec(d), seq_spec(d), seq_spec(n), seq_spec(n),
+                       fix_spec((n, d)), fix_spec((1, d))],
+            out_shape=[jax.ShapeDtypeStruct((ns, L, d, bt), f32),
+                       jax.ShapeDtypeStruct((ns, L, d, bt), f32),
+                       jax.ShapeDtypeStruct((ns, L, n, bt), f32),
+                       jax.ShapeDtypeStruct((ns, L, n, bt), f32),
+                       jax.ShapeDtypeStruct((n, d), f32),
+                       jax.ShapeDtypeStruct((1, d), f32)],
+        )(u, dt, A.T, B, C, D[None], g)
+        bk = lambda x: x[..., :b]
+        outs = (bk(du), bk(ddt), dA.T, bk(dB), bk(dC), dD[0])
+        return tuple(o.astype(t) for o, t in zip(outs, in_dtypes))
     if lane_major_io:
         L, d, b = u.shape
         pad = (-b) % block_b
@@ -345,19 +434,34 @@ def _fwd(u, dt, A, B, C, D, block_b, reverse, lane_major_io):
             (u, dt, A, B, C, D))
 
 
+def _lane_to_batch(x):
+    """(L, ch, b) -> (b, L, ch); (ns, L, ch, b) -> (ns*b, L, ch)."""
+    if x.ndim == 4:
+        ns, L, ch, b = x.shape
+        return jnp.moveaxis(x, 3, 1).reshape(ns * b, L, ch)
+    return jnp.transpose(x, (2, 0, 1))
+
+
+def _batch_to_lane(y, like):
+    if like.ndim == 4:
+        ns, L, ch, b = like.shape
+        return jnp.moveaxis(y.reshape(ns, b, L, y.shape[-1]), 1, 3)
+    return jnp.transpose(y, (1, 2, 0))
+
+
 def _bwd(block_b, reverse, lane_major_io, res, g):
     u, dt, A, B, C, D = res
     if jax.default_backend() == "tpu":
         return _pallas_backward(u, dt, A, B, C, D, g, block_b, reverse,
                                 lane_major_io)
     if lane_major_io:
-        bm = lambda x: jnp.transpose(x, (2, 0, 1))
+        bm = _lane_to_batch
         _, vjp = jax.vjp(partial(selective_scan, reverse=reverse),
                          bm(u), bm(dt), A, bm(B), bm(C), D)
         outs = vjp(bm(g))
-        lm = lambda x: jnp.transpose(x, (1, 2, 0))
-        return (lm(outs[0]), lm(outs[1]), outs[2], lm(outs[3]),
-                lm(outs[4]), outs[5])
+        return (_batch_to_lane(outs[0], u), _batch_to_lane(outs[1], dt),
+                outs[2], _batch_to_lane(outs[3], B),
+                _batch_to_lane(outs[4], C), outs[5])
     _, vjp = jax.vjp(partial(selective_scan, reverse=reverse),
                      u, dt, A, B, C, D)
     return vjp(g)
@@ -374,8 +478,8 @@ def selective_scan_auto(u, dt, A, B, C, D, use_pallas: bool = True,
         return selective_scan_pallas(u, dt, A, B, C, D, block_b, reverse,
                                      lane_major_io)
     if lane_major_io:
-        bm = lambda x: jnp.transpose(x, (2, 0, 1))
-        y = selective_scan(bm(u), bm(dt), A, bm(B), bm(C), D,
+        y = selective_scan(_lane_to_batch(u), _lane_to_batch(dt), A,
+                           _lane_to_batch(B), _lane_to_batch(C), D,
                            reverse=reverse)
-        return jnp.transpose(y, (1, 2, 0))
+        return _batch_to_lane(y, u)
     return selective_scan(u, dt, A, B, C, D, reverse=reverse)
