@@ -30,13 +30,27 @@ from ref_harness import (run_our_experiment,  # noqa: E402
                          run_reference_experiment)
 
 CONFIGS = [
-    # (name, epochs, bands, extra hp)
+    # (name, epochs, bands, extra hp). "_hw": bigger scene for big patches
+    # (interior-pixel rule); "_seeds": N reference seeds for models with
+    # stochastic forward passes (gumbel head-select) — the ref OA cell
+    # then reports mean+-std [min,max] and ours must land in/near the band
+    # (VERDICT r2 #4).
     ("EndNet", 15, 20, {}),
+    ("Early_fusion_CNN", 30, 20, {}),
     ("Middle_fusion_CNN", 30, 20, {}),
+    ("Late_fusion_CNN", 30, 20, {}),
+    ("Cross_fusion_CNN", 30, 20, {}),
+    ("S2ENet", 30, 20, {}),
+    ("SpectralFormer", 30, 20, {}),
+    ("FusAtNet", 20, 20, {"_hw": (40, 40)}),
+    ("MFT", 40, 20, {"_hw": (40, 40)}),
     # PCA-30 + transformer path; patch 11 leaves only (28-10)^2 interior
     # pixels on the default scene -> use 40x40 so both harnesses converge
-    ("HCTnet", 100, 40, {"_hw": (40, 40)}),
+    ("HCTnet", 100, 40, {"_hw": (40, 40), "_seeds": 3}),
+    ("MHST", 30, 20, {"_hw": (40, 40), "_seeds": 3}),
     ("Multimodality_Mamba", 20, 144, {}),  # ref flagship needs 144 bands
+    # S2EFT excluded: the reference model is unrunnable as wired
+    # (missing F import + 2-arg call into mask, QUIRKS.md repair #1)
 ]
 
 
@@ -67,23 +81,36 @@ def main():
             continue
         extra = dict(extra)
         img1, img2, gt = scene(bands, extra.pop("_hw", (28, 28)))
+        n_seeds = extra.pop("_seeds", 1)
         # 'random' mode is parity-faithfully unseeded (global np.random)
         np.random.seed(0)
         train_gt, test_gt = sample_gt(gt, 0.6, mode="random", seed=0)
         train_gt, val_gt = sample_gt(train_gt, 0.8, mode="random", seed=1)
 
         t0 = time.time()
-        ref = run_reference_experiment(name, img1, img2, train_gt, val_gt,
-                                       test_gt, epoch=epochs, batch_size=64,
-                                       **extra)
+        try:
+            refs = [run_reference_experiment(name, img1, img2, train_gt,
+                                             val_gt, test_gt, epoch=epochs,
+                                             batch_size=64, seed=s, **extra)
+                    for s in range(n_seeds)]
+        except Exception as e:
+            print(f"{name}: reference harness FAILED: {str(e)[:300]}",
+                  flush=True)
+            continue
         t_ref = time.time() - t0
+        oas = [r["Accuracy"] for r in refs]
+        ref = {k: float(np.mean([r[k] for r in refs]))
+               for k in ("Accuracy", "AA", "Kappa")}
+        ref["spread"] = (f"{np.mean(oas):.2f}+-{np.std(oas):.2f} "
+                         f"[{min(oas):.2f},{max(oas):.2f}]"
+                         if n_seeds > 1 else f"{oas[0]:.2f}")
         t0 = time.time()
         ours = run_our_experiment(name, img1, img2, train_gt, val_gt,
                                   test_gt, epoch=epochs, batch_size=64,
                                   **extra)
         t_ours = time.time() - t0
         rows.append((name, epochs, ref, ours, t_ref, t_ours))
-        print(f"{name}: ref OA={ref['Accuracy']:.2f} "
+        print(f"{name}: ref OA={ref['spread']} "
               f"ours OA={ours['Accuracy']:.2f} "
               f"(ref {t_ref:.0f}s, ours {t_ours:.0f}s)", flush=True)
 
@@ -101,7 +128,7 @@ def main():
     formatted = {}
     for name, epochs, ref, ours, t_ref, t_ours in rows:
         formatted[name] = (
-            f"| {name} | {epochs} | {ref['Accuracy']:.2f} | "
+            f"| {name} | {epochs} | {ref['spread']} | "
             f"{ours['Accuracy']:.2f} | {ref['AA']:.4f} | "
             f"{ours['AA']:.4f} | {ref['Kappa']:.4f} | "
             f"{ours['Kappa']:.4f} | {t_ref:.0f} | {t_ours:.0f} |\n")
@@ -121,7 +148,11 @@ def main():
             "bitwise-reproducible across frameworks (different init/"
             "shuffle/gumbel RNG streams — HCTnet's stochastic head-select "
             "makes it the noisiest row); the claim is agreement, not "
-            "equality. Generated by perf/dual_harness.py; spot-checked in "
+            "equality. For stochastic-forward models the ref OA cell is a "
+            "multi-seed band `mean+-std [min,max]` and ours should land "
+            "in or near it. S2EFT is excluded: the reference is "
+            "unrunnable as wired (QUIRKS.md repair #1). Generated by "
+            "perf/dual_harness.py; spot-checked in "
             "tests/test_dual_harness.py.\n\n"
             "| Model | epochs | ref OA | ours OA | ref AA | ours AA | "
             "ref Kappa | ours Kappa | ref s | ours s |\n"
