@@ -50,21 +50,30 @@ def cache_key(key_parts, example_args) -> str:
     return h.hexdigest()[:24]
 
 
+_LOADED: dict = {}            # in-process memo: deserializing a big scene
+#                               executable costs seconds — pay it once
+
+
 def load_or_compile(jitted, key_parts, example_args) -> Tuple[object, bool]:
     """Return (compiled_executable, loaded_from_cache) for
     ``jitted(*example_args)``. Persists newly-compiled executables."""
     from jax.experimental import serialize_executable as se
 
     key = cache_key(key_parts, example_args)
+    if key in _LOADED:
+        return _LOADED[key], True
     path = os.path.join(cache_dir(), key + ".jaxexe")
     if os.path.exists(path):
         try:
             with open(path, "rb") as f:
                 payload, in_tree, out_tree = pickle.load(f)
-            return se.deserialize_and_load(payload, in_tree, out_tree), True
+            exe = se.deserialize_and_load(payload, in_tree, out_tree)
+            _LOADED[key] = exe
+            return exe, True
         except Exception:
             pass                      # stale/foreign entry: recompile below
     compiled = jitted.lower(*example_args).compile()
+    _LOADED[key] = compiled
     try:
         payload, in_tree, out_tree = se.serialize(compiled)
         tmp = path + f".tmp{os.getpid()}"
