@@ -159,20 +159,22 @@ def main():
     rng = np.random.RandomState(0)
     img1 = rng.rand(H, W, BANDS).astype(np.float32)
     img2 = rng.rand(H, W, 1).astype(np.float32)
-    rows = []
+    table = []
     for name in names:
         p = serve = tbs = train = None
         if phase in ("both", "serve"):
-            for rows in (None, 2, 1):
+            for band_rows in (None, 2, 1):
                 try:
-                    p, serve = measure_serving(name, img1, img2, rows=rows)
+                    p, serve = measure_serving(name, img1, img2,
+                                               rows=band_rows)
                     break
                 except Exception as e:
                     msg = str(e)
-                    if rows != 1 and ("RESOURCE_EXHAUSTED" in msg
-                                      or "Out of memory" in msg
-                                      or "exceeds" in msg):
-                        log(f"{name}: serving rows={rows} OOM, shrinking")
+                    if band_rows != 1 and ("RESOURCE_EXHAUSTED" in msg
+                                           or "Out of memory" in msg
+                                           or "exceeds" in msg):
+                        log(f"{name}: serving rows={band_rows} OOM, "
+                            "shrinking")
                         continue
                     log(f"{name}: serving FAILED {msg[:200]}")
                     break
@@ -181,14 +183,14 @@ def main():
                 tbs, train = measure_train(name, img1, img2)
             except Exception as e:
                 log(f"{name}: train FAILED {str(e)[:200]}")
-        rows.append((name, p, serve, tbs, train))
+        table.append((name, p, serve, tbs, train))
         fmt = lambda v: f"{v:,.0f}" if v else "-"
         print(f"| {name} | {p or '-'} | {fmt(serve)} | {fmt(train)} |",
               flush=True)
     print()
     print("| Model | patch | serving patches/s/chip | train patches/s/chip |")
     print("|---|---|---|---|")
-    for name, p, serve, tbs, train in rows:
+    for name, p, serve, tbs, train in table:
         fmt = lambda v: f"{v:,.0f}" if v else "-"
         print(f"| {name} | {p or '-'} | {fmt(serve)} | {fmt(train)} |")
 

@@ -25,6 +25,12 @@ os.environ.setdefault("JAX_PLATFORMS", "cpu")
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
+# persistent CPU compile cache (same dir as the test suite): the big flax
+# models cost minutes to jit on this 1-CPU host; reruns then start hot
+_cache_dir = os.path.expanduser("~/.cache/vct_jax_cache_cpu")
+os.makedirs(_cache_dir, exist_ok=True)
+jax.config.update("jax_compilation_cache_dir", _cache_dir)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1)
 
 from ref_harness import (run_our_experiment,  # noqa: E402
                          run_reference_experiment)
@@ -39,7 +45,9 @@ CONFIGS = [
     ("Early_fusion_CNN", 30, 20, {}),
     ("Middle_fusion_CNN", 30, 20, {}),
     ("Late_fusion_CNN", 30, 20, {}),
-    ("Cross_fusion_CNN", 30, 20, {}),
+    # Cross_fusion trains noisily on the tiny scene (3-seed band shows the
+    # single-run ref-vs-ours gap is within the reference's own spread)
+    ("Cross_fusion_CNN", 30, 20, {"_seeds": 3}),
     ("S2ENet", 30, 20, {}),
     ("SpectralFormer", 30, 20, {}),
     ("FusAtNet", 20, 20, {"_hw": (40, 40)}),
@@ -113,7 +121,11 @@ def main():
         print(f"{name}: ref OA={ref['spread']} "
               f"ours OA={ours['Accuracy']:.2f} "
               f"(ref {t_ref:.0f}s, ours {t_ours:.0f}s)", flush=True)
+        write_table(rows)     # persist after EVERY row (a config can cost
+        #                       an hour — a crash must not lose prior rows)
 
+
+def write_table(rows):
     out = os.path.join(os.path.dirname(__file__), "..", "DUAL_HARNESS.md")
     # merge with rows already in the file (keyed by model name), keeping
     # CONFIGS order
