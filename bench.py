@@ -49,10 +49,12 @@ def measure_ours(img1, img2):
     (infer.full_scene_probabilities, stride-1 row-band path): every band
     of the whole Houston-sized scene, gather->bf16 forward->f32
     accumulate->assembled (H, W, K) map fetched to host. Returns
-    (patches/s/chip over the whole scene, cold_s, warm_s): cold includes
-    compilation from an empty process (the persistent TPU cache rarely
-    hits cross-process here), warm is a second identical call — the
-    honest end-to-end numbers VERDICT r2 #5/#8 asked for."""
+    (patches/s/chip over the whole resident scene, cold_s, warm_fresh_s,
+    warm_s): cold includes compilation from an empty process (AOT
+    executable cache cuts it), warm_fresh is a repeat call with a NEW
+    host scene (pays the tunnel upload), warm is a repeat over the
+    device-resident scene — the honest end-to-end numbers VERDICT r2
+    #5/#8 asked for, split by what a serving client actually pays."""
     import jax
     import jax.numpy as jnp
 
@@ -85,13 +87,26 @@ def measure_ours(img1, img2):
     probs = full_scene()
     cold = time.time() - t0
     assert probs.shape == (H, W, CLASSES) and np.isfinite(probs).all()
+    # warm, NEW scene: fresh host arrays defeat the device-resident scene
+    # cache, so this wall includes the host->device upload (the honest
+    # single-shot number for a scene never seen before)
+    f1, f2 = img1.copy(), img2.copy()
+    t0 = time.time()
+    probs = full_scene_probabilities(module, variables, f1, f2,
+                                     hp, chunk=rows * wc)
+    warm_fresh = time.time() - t0
+    # warm, RESIDENT scene: same host arrays -> cached device upload; one
+    # program over all bands + the (H, W, K) result download. This is the
+    # serving steady state (the reference's own loop re-tests the same
+    # scene N_RUNS times, ref: main.py:377,500)
     t0 = time.time()
     probs = full_scene()
     warm = time.time() - t0
     rate = n_windows / warm
     log("ours: {:.0f} patches/sec/chip | full scene cold {:.1f}s "
-        "warm {:.2f}s".format(rate, cold, warm))
-    return rate, cold, warm
+        "warm fresh-scene {:.2f}s resident {:.2f}s".format(
+            rate, cold, warm_fresh, warm))
+    return rate, cold, warm_fresh, warm
 
 
 def measure_train_ours(img1, img2, batch_size=1024, budget_s=6.0):
@@ -231,7 +246,7 @@ def measure_torch_baseline(img1, img2, budget_s=30.0):
 
 def main():
     img1, img2 = synthetic_scene()
-    ours, cold_s, warm_s = measure_ours(img1, img2)
+    ours, cold_s, warm_fresh_s, warm_s = measure_ours(img1, img2)
     train_ours = measure_train_ours(img1, img2)
     base = measure_torch_baseline(img1, img2)
 
@@ -267,7 +282,8 @@ def main():
             "infer_vs_flops_matched_standin": round(ours / base, 2),
             "full_scene_windows": (H - PATCH + 1) * (W - PATCH + 1),
             "full_scene_s_cold": round(cold_s, 1),
-            "full_scene_s_warm": round(warm_s, 2),
+            "full_scene_s_warm_fresh_scene": round(warm_fresh_s, 2),
+            "full_scene_s_warm_resident": round(warm_s, 2),
         },
     }))
 

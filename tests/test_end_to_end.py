@@ -337,3 +337,34 @@ def test_sharded_train_step_matches_single_device(synthetic_scene_module):
     lg_m = np.asarray(logit_fn(got, p1, p2))
     lg_o = np.asarray(logit_fn(want, p1, p2))
     np.testing.assert_allclose(lg_m, lg_o, rtol=1e-4, atol=1e-5)
+
+
+def test_scene_cache_identity_eviction_and_reuse(trained):
+    """Device-resident scene cache: repeat serving of the SAME host arrays
+    reuses the uploaded buffers (no re-upload) and is bit-identical; a
+    fresh array object misses; entries evict when the host array dies."""
+    import gc
+
+    from vit_cnn_tpu.infer import fullscene
+
+    module, best, trainer, hp, (img1, img2, gt, test_gt) = trained
+    fullscene._scene_cache.clear()
+
+    p1 = full_scene_probabilities(module, best, img1, img2, hp, chunk=512)
+    d1 = fullscene._device_scene(img1, bool(hp.get("bf16")))
+    p2 = full_scene_probabilities(module, best, img1, img2, hp, chunk=512)
+    d2 = fullscene._device_scene(img1, bool(hp.get("bf16")))
+    assert d1 is d2, "second call must reuse the cached device scene"
+    np.testing.assert_array_equal(p1, p2)
+
+    fresh = img1.copy()
+    d3 = fullscene._device_scene(fresh, bool(hp.get("bf16")))
+    assert d3 is not d1
+    p3 = full_scene_probabilities(module, best, fresh, img2, hp, chunk=512)
+    np.testing.assert_array_equal(p1, p3)
+
+    n_before = len(fullscene._scene_cache)
+    del fresh, d3
+    gc.collect()
+    assert len(fullscene._scene_cache) < n_before, \
+        "dropping the host array must evict its cache entry"

@@ -17,12 +17,56 @@ reference's border behavior (border pixels never receive probability mass).
 from __future__ import annotations
 
 import os
+import weakref
 from functools import lru_cache, partial
 from typing import Dict, Optional
 
 import jax
 import jax.numpy as jnp
 import numpy as np
+
+# Device-resident scene cache. The reference's run loop calls test()
+# N_RUNS times over the SAME scene object (ref: main.py:377,500), and
+# serving clients re-query one scene with different models / strides —
+# re-uploading the ~191 MB bf16 Houston scene through a 31-39 MB/s
+# tunneled link (perf/transfer_probe.py) would dominate every call.
+# Keyed by id() of the host array with a weakref finalizer (the entry
+# evicts as soon as the caller drops the array, and id reuse is safe
+# because the finalizer runs before the id can be recycled). Re-serving
+# a host array that was MUTATED in place is not supported — the
+# reference never mutates a loaded scene either. VCT_SCENE_CACHE=0
+# disables.
+_scene_cache: Dict[int, tuple] = {}
+
+
+def _device_scene(img, bf16: bool):
+    """Upload (or fetch the cached upload of) a scene, bf16 or f32."""
+    base = img if isinstance(img, np.ndarray) else np.asarray(img)
+    variant = "bf16" if bf16 else "f32"
+    per = None
+    if os.environ.get("VCT_SCENE_CACHE", "1") != "0":
+        entry = _scene_cache.get(id(base))
+        if entry is not None and entry[0]() is base:
+            per = entry[1]
+        else:
+            per = {}
+            try:
+                ref = weakref.ref(
+                    base, lambda r, k=id(base): _scene_cache.pop(k, None))
+                _scene_cache[id(base)] = (ref, per)
+            except TypeError:
+                per = None
+    if per is not None and variant in per:
+        return per[variant]
+    if bf16:
+        import ml_dtypes
+
+        dev = jnp.asarray(base.astype(ml_dtypes.bfloat16))
+    else:
+        dev = jnp.asarray(base, jnp.float32)
+    if per is not None:
+        per[variant] = dev
+    return dev
 
 
 def sliding_window_origins(h: int, w: int, patch_size: int,
@@ -257,14 +301,9 @@ def full_scene_probabilities(module, variables, img1: np.ndarray,
     # host->device bytes — through a tunneled backend the f32 Houston scene
     # costs ~12.6 s at 31 MB/s vs ~4.9 s in bf16 (perf/transfer_probe.py),
     # which dominated the warm full-scene wall (VERDICT r2 #3/#5).
-    if hyperparams.get("bf16"):
-        import ml_dtypes
-
-        scene1 = jnp.asarray(np.asarray(img1).astype(ml_dtypes.bfloat16))
-        scene2 = jnp.asarray(np.asarray(img2).astype(ml_dtypes.bfloat16))
-    else:
-        scene1 = jnp.asarray(img1, jnp.float32)
-        scene2 = jnp.asarray(img2, jnp.float32)
+    bf16 = bool(hyperparams.get("bf16"))
+    scene1 = _device_scene(img1, bf16)
+    scene2 = _device_scene(img2, bf16)
     probs = jnp.zeros((h, w, n_classes), jnp.float32)
 
     apply_fn0 = module.apply
