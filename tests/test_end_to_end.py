@@ -363,8 +363,16 @@ def test_scene_cache_identity_eviction_and_reuse(trained):
     p3 = full_scene_probabilities(module, best, fresh, img2, hp, chunk=512)
     np.testing.assert_array_equal(p1, p3)
 
+    # eviction: assert via the bf16 variant — its host-side astype COPIES,
+    # so the device array cannot alias (and thus retain) the host array.
+    # The f32 variant on CPU backends zero-copy aliases the numpy buffer,
+    # which legitimately keeps the entry alive as long as the device
+    # array lives (on TPU every upload copies, so f32 evicts too).
+    fresh2 = img1.copy()
+    d4 = fullscene._device_scene(fresh2, True)
+    assert d4.dtype == __import__("jax").numpy.bfloat16
     n_before = len(fullscene._scene_cache)
-    del fresh, d3
+    del fresh2, d4
     gc.collect()
     assert len(fullscene._scene_cache) < n_before, \
         "dropping the host array must evict its cache entry"

@@ -111,3 +111,29 @@ def test_even_patch_center_label_follows_flip(synthetic_scene):
         if not np.array_equal(np.asarray(labels), base):
             flipped_any = True
     assert flipped_any
+
+
+def test_geom_offset_grids_match_geom_apply(synthetic_scene):
+    """Folding flip/rotate into the gather (offset grids) must equal
+    gathering then _geom_apply, for every code and odd AND even patch."""
+    import jax.numpy as jnp
+
+    from vit_cnn_tpu.pipeline.patches import (_geom_apply,
+                                              _geom_offset_grids,
+                                              gather_patches)
+
+    img1, img2, gt = synthetic_scene
+    scene = jnp.asarray(img1)
+    for p in (9, 8):
+        centers = jnp.asarray(
+            np.array([[p, p], [p + 3, p + 2], [12, 13]], np.int32))
+        base = gather_patches(scene, centers, p)
+        gr, gc = _geom_offset_grids(p)
+        for code in range(7):
+            want = np.stack([np.asarray(_geom_apply(b, jnp.int32(code)))
+                             for b in base])
+            codes = jnp.full((centers.shape[0],), code, jnp.int32)
+            got = gather_patches(scene, centers, p,
+                                 (gr[codes], gc[codes]))
+            np.testing.assert_array_equal(want, np.asarray(got), err_msg=(
+                f"patch {p} code {code}"))

@@ -34,8 +34,11 @@ import numpy as np
 # evicts as soon as the caller drops the array, and id reuse is safe
 # because the finalizer runs before the id can be recycled). Re-serving
 # a host array that was MUTATED in place is not supported — the
-# reference never mutates a loaded scene either. VCT_SCENE_CACHE=0
-# disables.
+# reference never mutates a loaded scene either. On zero-copy backends
+# (CPU) the f32 device array ALIASES the host buffer and keeps its entry
+# alive as long as the device array does — growth is bounded by the
+# number of distinct scenes served; on TPU every upload copies, so
+# dropping the host array evicts. VCT_SCENE_CACHE=0 disables.
 _scene_cache: Dict[int, tuple] = {}
 
 

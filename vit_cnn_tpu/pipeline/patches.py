@@ -16,7 +16,7 @@ Replaces the reference's per-sample Python ``Dataset.__getitem__``
 from __future__ import annotations
 
 import dataclasses
-from functools import partial
+from functools import lru_cache, partial
 from typing import Optional, Sequence, Tuple
 
 import jax
@@ -78,7 +78,10 @@ def build_class_index_table(gt: np.ndarray, indices: np.ndarray,
 # ---------------------------------------------------------------------------
 
 def gather_patches(img: jnp.ndarray, centers: jnp.ndarray,
-                   patch_size: int) -> jnp.ndarray:
+                   patch_size: int,
+                   offsets: Optional[Tuple[jnp.ndarray,
+                                           jnp.ndarray]] = None
+                   ) -> jnp.ndarray:
     """Gather (B, P, P, C) patches around (B, 2) centers from an (H, W, C)
     scene. Centers must be valid interior pixels (no clamping surprises).
 
@@ -87,11 +90,19 @@ def gather_patches(img: jnp.ndarray, centers: jnp.ndarray,
     Index grids are clamped to the scene so a non-interior center degrades
     to edge replication (like the dynamic_slice this replaced) instead of
     silently wrapping to the opposite edge; current callers only pass
-    interior centers (interior_indices) so the clamp is a no-op for them."""
+    interior centers (interior_indices) so the clamp is a no-op for them.
+
+    ``offsets`` (optional): per-sample (B, P, P) row/col offset grids —
+    folds per-sample flip/rotate augmentation into the gather itself
+    (see ``_geom_offset_grids``)."""
     p = patch_size // 2
-    di = jnp.arange(patch_size) - p
-    r = centers[:, 0, None, None] + di[None, :, None]
-    c = centers[:, 1, None, None] + di[None, None, :]
+    if offsets is None:
+        di = jnp.arange(patch_size) - p
+        r = centers[:, 0, None, None] + di[None, :, None]
+        c = centers[:, 1, None, None] + di[None, None, :]
+    else:
+        r = centers[:, 0, None, None] + offsets[0]
+        c = centers[:, 1, None, None] + offsets[1]
     r = jnp.clip(r, 0, img.shape[0] - 1)
     c = jnp.clip(c, 0, img.shape[1] - 1)
     return img[r, c]
@@ -112,6 +123,31 @@ def _geom_apply(arr: jnp.ndarray, code: jnp.ndarray) -> jnp.ndarray:
         lambda a: jnp.rot90(a, k=3, axes=(0, 1)),
     ]
     return jax.lax.switch(code, branches, arr)
+
+
+@lru_cache(maxsize=None)
+def _geom_offset_grids(patch_size: int):
+    """(7, P, P) row/col offset grids such that gathering with grid k
+    equals ``_geom_apply(identity_gather, k)``: for any transform T,
+    T(patch)[i, j] = img[center + T(grid0)[i, j]], so each grid is just T
+    applied to the identity offset grid. Folding the flip/rotate into the
+    gather replaces a vmapped 7-branch ``lax.switch`` (which computes all
+    seven transforms of every patch and selects — 7x the HBM traffic,
+    ~10 ms of the 57 ms train step at batch 1024) with one gather."""
+    di = np.arange(patch_size) - patch_size // 2
+    r0, c0 = np.meshgrid(di, di, indexing="ij")
+    tfs = [lambda a: a,
+           np.fliplr,
+           np.flipud,
+           lambda a: np.flipud(np.fliplr(a)),
+           lambda a: np.rot90(a, k=1),
+           lambda a: np.rot90(a, k=2),
+           lambda a: np.rot90(a, k=3)]
+    rs = np.stack([t(r0) for t in tfs]).astype(np.int32)
+    cs = np.stack([t(c0) for t in tfs]).astype(np.int32)
+    # numpy out, converted per use site: caching a jnp array created
+    # inside a jit trace would leak tracers across traces
+    return rs, cs
 
 
 def sample_geom_code(key: jax.Array) -> jnp.ndarray:
@@ -184,13 +220,17 @@ def augment_batch(key: jax.Array, p1: jnp.ndarray, p2: jnp.ndarray,
                   scene1: Optional[jnp.ndarray] = None,
                   class_table: Optional[jnp.ndarray] = None,
                   class_counts: Optional[jnp.ndarray] = None,
-                  ignored_mask: Optional[jnp.ndarray] = None):
+                  ignored_mask: Optional[jnp.ndarray] = None,
+                  skip_geom: bool = False):
     """Apply the configured augmentations to one batch of patches.
 
     p1: (B,P,P,C1) HSI, p2: (B,P,P,C2) LiDAR, lp: (B,P,P) labels.
-    Returns augmented (p1, p2, lp).
+    Returns augmented (p1, p2, lp). ``skip_geom``: the flip/rotate was
+    already folded into the gather (make_batch fast path).
     """
     if not (cfg.flip or cfg.radiation or cfg.mixture):
+        return p1, p2, lp
+    if skip_geom and not (cfg.radiation or cfg.mixture):
         return p1, p2, lp
 
     b = p1.shape[0]
@@ -198,7 +238,7 @@ def augment_batch(key: jax.Array, p1: jnp.ndarray, p2: jnp.ndarray,
 
     def one(k, d1, d2, lab):
         k_geo, k_rad_gate, k_rad, k_mix_gate, k_mix = jax.random.split(k, 5)
-        if cfg.flip and patch_size > 1:
+        if cfg.flip and patch_size > 1 and not skip_geom:
             code = sample_geom_code(k_geo)
             d1 = _geom_apply(d1, code)
             d2 = _geom_apply(d2, code)
@@ -257,6 +297,17 @@ class PatchPipeline:
             self.class_table = None
             self.class_counts = None
 
+    def to_compute_dtype(self, dtype) -> None:
+        """Re-store the gather sources in the training compute dtype.
+
+        bf16 training casts every gathered patch to bf16 before the
+        forward; casting the SCENE once instead is bit-identical (cast
+        commutes with gather) and halves the per-step gather traffic —
+        the largest non-backward term in the train-step decomposition
+        (perf/profile_train.py). Labels stay int32."""
+        self.scene1 = self.scene1.astype(dtype)
+        self.scene2 = self.scene2.astype(dtype)
+
     def __len__(self) -> int:
         return len(self.indices)
 
@@ -288,16 +339,28 @@ class PatchPipeline:
         """
         a = arrays if arrays is not None else self.device_arrays()
         p = self.patch_size
-        p1 = gather_patches(a["scene1"], centers, p)
-        p2 = gather_patches(a["scene2"], centers, p)
-        lp = gather_patches(a["gt"][..., None], centers, p)[..., 0]
+        cfg = self.augment_cfg
+        offsets = None
+        fold_geom = bool(train and cfg.flip and p > 1)
+        if fold_geom:
+            # flip/rotate as per-sample gather index grids: one gather
+            # instead of a vmapped 7-branch switch over materialized
+            # patches (was ~10 ms of the 57 ms flagship train step)
+            k_geo, key = jax.random.split(key)
+            codes = jax.vmap(sample_geom_code)(
+                jax.random.split(k_geo, centers.shape[0]))
+            gr, gc = _geom_offset_grids(p)
+            offsets = (jnp.asarray(gr)[codes], jnp.asarray(gc)[codes])
+        p1 = gather_patches(a["scene1"], centers, p, offsets)
+        p2 = gather_patches(a["scene2"], centers, p, offsets)
+        lp = gather_patches(a["gt"][..., None], centers, p, offsets)[..., 0]
 
         if train:
             p1, p2, lp = augment_batch(
-                key, p1, p2, lp, self.augment_cfg, p,
+                key, p1, p2, lp, cfg, p,
                 scene1=a["scene1"], class_table=self.class_table,
                 class_counts=self.class_counts,
-                ignored_mask=self.ignored_mask)
+                ignored_mask=self.ignored_mask, skip_geom=fold_geom)
 
         if self.center_pixel and p > 1:
             labels = lp[:, p // 2, p // 2]

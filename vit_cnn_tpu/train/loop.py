@@ -96,6 +96,14 @@ class Trainer:
             module.apply, variables, self.tx)
         self.np_rng = np.random.RandomState(seed)
 
+        # bf16 training: store the TRAIN gather sources in bf16 — the step
+        # casts gathered patches to bf16 anyway (cast commutes with
+        # gather, so results are bit-identical) and half-width rows halve
+        # the dominant gather traffic (perf/profile_train.py). The val
+        # pipeline stays f32: evaluation runs the f32 path.
+        if hyperparams.get("bf16"):
+            pipeline.to_compute_dtype(jnp.bfloat16)
+
         # large rasters ride as runtime args through every jit boundary
         # (closure constants get embedded into shipped executables on some
         # backends; see PatchPipeline.device_arrays)
