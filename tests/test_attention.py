@@ -5,8 +5,12 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from vit_cnn_tpu.ops.attention import (attention_reference, fused_attention,
-                                       fused_attention_auto)
+from vit_cnn_tpu.ops.attention import (attention_reference,
+                                       attention_reference_heads,
+                                       fused_attention,
+                                       fused_attention_auto,
+                                       fused_attention_heads,
+                                       fused_attention_heads_auto)
 
 
 def _qkv(key, g=6, lq=9, lk=7, dh=8):
@@ -39,6 +43,91 @@ def test_auto_reference_path_and_rank4():
     got4 = fused_attention_auto(q4, k4, v4, 0.5)
     np.testing.assert_allclose(np.asarray(got4).reshape(12, 9, 8),
                                np.asarray(want), rtol=1e-5)
+
+
+def _qkv_heads(key, b=10, n=13, h=5, hd=4):
+    kq, kk, kv = jax.random.split(key, 3)
+    shape = (b, n, h, hd)
+    return (jax.random.normal(kq, shape), jax.random.normal(kk, shape),
+            jax.random.normal(kv, shape))
+
+
+def test_heads_kernel_matches_reference_interpret():
+    """Masked-full-dot VMEM kernel == head-last einsum formula, incl. the
+    batch-padding path (b=10 not a multiple of block_g=4) and the folded
+    MViT +q residual on non-CLS tokens."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    q, k, v = _qkv_heads(jax.random.PRNGKey(3))
+    for residual in (False, True):
+        with pltpu.force_tpu_interpret_mode():
+            got = fused_attention_heads(q, k, v, 0.5, 4, residual)
+        want = attention_reference_heads(q, k, v, 0.5, residual)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   rtol=2e-4, atol=2e-5,
+                                   err_msg=f"residual={residual}")
+
+
+def test_heads_auto_reference_path_and_gradients():
+    q, k, v = _qkv_heads(jax.random.PRNGKey(4))
+    got = fused_attention_heads_auto(q, k, v, 0.5)   # CPU -> reference path
+    want = attention_reference_heads(q, k, v, 0.5)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=1e-5)
+
+    def loss(q, k, v):
+        return jnp.sum(fused_attention_heads_auto(q, k, v, 0.5) ** 2)
+
+    grads = jax.grad(loss, argnums=(0, 1, 2))(q, k, v)
+    for g in grads:
+        assert np.isfinite(np.asarray(g)).all()
+        assert np.abs(np.asarray(g)).max() > 0
+
+
+def test_pooled_kernel_matches_reference_interpret():
+    """Fused LN+attention+residual kernel == the unfused composition
+    (grouped flax-style LN then head-last attention with +q residual)."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    from vit_cnn_tpu.ops.attention import (pooled_attention_reference,
+                                           pooled_heads_attention)
+
+    b, n, h, hd = 6, 9, 5, 4
+    c = h * hd
+    keys = jax.random.split(jax.random.PRNGKey(5), 9)
+    q, k, v = (jax.random.normal(keys[i], (b, n, c)) for i in range(3))
+    lns = [(1.0 + 0.1 * jax.random.normal(keys[3 + 2 * i], (hd,)),
+            0.1 * jax.random.normal(keys[4 + 2 * i], (hd,)))
+           for i in range(3)]
+    for residual in (True, False):
+        with pltpu.force_tpu_interpret_mode():
+            got = pooled_heads_attention(
+                q, k, v, lns[0][0], lns[0][1], lns[1][0], lns[1][1],
+                lns[2][0], lns[2][1], h, 0.5, 4, residual)
+        want = pooled_attention_reference(q, k, v, lns[0], lns[1], lns[2],
+                                          h, 0.5, residual)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   rtol=2e-4, atol=2e-5,
+                                   err_msg=f"residual={residual}")
+
+
+def test_ln_groups_matches_flax_layernorm():
+    """ln_groups_reference == nn.LayerNorm over the (b, n, h, hd) view —
+    the exact semantics the MHST pool LN had before the kernel fold."""
+    import flax.linen as nn
+
+    from vit_cnn_tpu.ops.attention import ln_groups_reference
+
+    b, n, h, hd = 4, 7, 5, 4
+    x = jax.random.normal(jax.random.PRNGKey(6), (b, n, h * hd))
+    ln = nn.LayerNorm(epsilon=1e-5)
+    variables = ln.init(jax.random.PRNGKey(7), x.reshape(b, n, h, hd))
+    scale = 1.0 + 0.3 * jax.random.normal(jax.random.PRNGKey(8), (hd,))
+    bias = 0.2 * jax.random.normal(jax.random.PRNGKey(9), (hd,))
+    variables = {"params": {"scale": scale, "bias": bias}}
+    want = ln.apply(variables, x.reshape(b, n, h, hd)).reshape(b, n, h * hd)
+    got = ln_groups_reference(x, scale, bias, hd)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-6, atol=1e-6)
 
 
 def test_gradients_flow():

@@ -30,6 +30,8 @@ import jax.numpy as jnp
 from ..nn.layers import BatchNorm
 from ..nn.pyconv import PyConv
 from ..nn.transformer import ViTBackbone
+from ..ops.attention import (ln_groups_reference,
+                             pooled_heads_attention_auto)
 
 
 def gumbel_sigmoid(rng, logits, tau=5.0, hard=True, threshold=0.5,
@@ -128,6 +130,20 @@ class _DWPoolKernel(nn.Module):
                           (3, 3, 1, self.hd))
 
 
+class _LNParams(nn.Module):
+    """Parameter-only holder matching ``nn.LayerNorm``'s tree exactly
+    (scale=ones, bias=zeros, f32) — the LN itself runs either inline
+    (train path) or inside the fused pooled-attention kernel (serving),
+    via ops.attention.ln_groups_reference semantics."""
+
+    dim: int
+
+    @nn.compact
+    def __call__(self):
+        return (self.param("scale", nn.initializers.ones, (self.dim,)),
+                self.param("bias", nn.initializers.zeros, (self.dim,)))
+
+
 class _PoolAttention(nn.Module):
     """MViT-style pooled attention with per-batch head-width masking
     (ref: HSPT.py:142-290)."""
@@ -166,7 +182,9 @@ class _PoolAttention(nn.Module):
 
         def pool(t, name):
             # one depthwise 3x3 conv over all h*hd channels (head-major
-            # channel order == the (b, n, h, hd) reshape's memory order)
+            # channel order == the (b, n, h, hd) reshape's memory order);
+            # the per-(token, head) LN over hd runs downstream (inline in
+            # train, inside the fused kernel when serving)
             cls_tok, rest = t[:, :1], t[:, 1:]
             hh, ww = self.hw_shape
             kernel = _DWPoolKernel(hd, name=name)()
@@ -177,22 +195,34 @@ class _PoolAttention(nn.Module):
                 feature_group_count=c,
                 dimension_numbers=("NHWC", "HWIO", "NHWC"))
             t = jnp.concatenate([cls_tok, r.reshape(b, hh * ww, c)], axis=1)
-            # per-(token, head) LayerNorm over hd — same statistics as the
-            # reference's LN on the (b, h, n, hd) view
-            t = t.reshape(b, n, h, hd)
-            return nn.LayerNorm(epsilon=1e-5, name=name + "_norm")(t)
+            return t, _LNParams(hd, name=name + "_norm")()
 
-        q = pool(q, "pool_q")                               # (b, n, h, hd)
-        k = pool(k, "pool_k")
-        v = pool(v, "pool_v")
+        q, ln_q = pool(q, "pool_q")                         # (b, n, c)
+        k, ln_k = pool(k, "pool_k")
+        v, ln_v = pool(v, "pool_v")
 
-        attn = jnp.einsum("bihd,bjhd->bhij", q, k) * (hd ** -0.5)
-        attn = nn.softmax(attn, axis=-1)
-        attn = nn.Dropout(self.attn_drop, deterministic=not train)(attn)
-        out = jnp.einsum("bhij,bjhd->bihd", attn, v)        # (b, n, h, hd)
-        # residual pooling: add q to non-cls tokens (ref: HSPT.py:275-280)
-        out = out.at[:, 1:].add(q[:, 1:])
-        out = out.reshape(b, n, c)
+        if train and self.attn_drop > 0.0:
+            # the reference drops attention PROBABILITIES during training
+            # (ref: HSPT.py:263) — keep the unfused path so the dropout
+            # mask lands in the same place
+            hv = lambda t, ln: ln_groups_reference(t, *ln, hd).reshape(
+                b, n, h, hd)
+            q, k, v = hv(q, ln_q), hv(k, ln_k), hv(v, ln_v)
+            attn = jnp.einsum("bihd,bjhd->bhij", q, k) * (hd ** -0.5)
+            attn = nn.softmax(attn, axis=-1)
+            attn = nn.Dropout(self.attn_drop, deterministic=not train)(attn)
+            out = jnp.einsum("bhij,bjhd->bihd", attn, v)    # (b, n, h, hd)
+            # residual pooling: add q to non-cls tokens (ref: HSPT.py:275-280)
+            out = out.at[:, 1:].add(q[:, 1:])
+            out = out.reshape(b, n, c)
+        else:
+            # serving: 16 heads of hd=4 over 65 tokens is pathological for
+            # XLA (attention = 228 ms of the 250 ms MHST forward,
+            # perf/profile_mhst.py), and the three hd-group LNs cannot
+            # fuse into a kernel boundary — one fused VMEM pass runs
+            # LN(q/k/v) + all heads' QK^T/softmax/PV + the +q residual
+            out = pooled_heads_attention_auto(q, k, v, ln_q, ln_k, ln_v,
+                                              h, hd ** -0.5)
 
         if width_select is not None:
             out = out * width_select  # proj input mask (B, 1, dim)

@@ -15,7 +15,7 @@ from typing import Optional
 import flax.linen as nn
 import jax.numpy as jnp
 
-from ..ops.attention import fused_attention_auto
+from ..ops.attention import fused_attention_auto, fused_attention_heads_auto
 
 
 class ViTAttention(nn.Module):
@@ -31,14 +31,25 @@ class ViTAttention(nn.Module):
         qkv = nn.Dense(inner * 3, use_bias=False, name="to_qkv")(x)
         q, k, v = jnp.split(qkv, 3, axis=-1)
 
-        def heads(t):
-            return t.reshape(b, n, self.heads, self.dim_head).transpose(
-                0, 2, 1, 3)
+        scale = self.dim_head ** -0.5
+        if self.dim_head < 32:
+            # tiny heads (MHST en_transformer: 4 heads of 16): the
+            # G-folded kernel's (block, n, dim_head) VMEM layout wastes
+            # 7/8 of the lanes; the head-last kernel keeps all h*hd
+            # channels on the lanes and needs no (b,n,h,hd)<->(b,h,n,hd)
+            # transposes
+            hl = lambda t: t.reshape(b, n, self.heads, self.dim_head)
+            out = fused_attention_heads_auto(hl(q), hl(k), hl(v), scale)
+            out = out.reshape(b, n, inner)
+        else:
+            def heads(t):
+                return t.reshape(b, n, self.heads, self.dim_head).transpose(
+                    0, 2, 1, 3)
 
-        q, k, v = heads(q), heads(k), heads(v)
-        # fused Pallas kernel on TPU: scores never leave VMEM
-        out = fused_attention_auto(q, k, v, self.dim_head ** -0.5)
-        out = out.transpose(0, 2, 1, 3).reshape(b, n, inner)
+            q, k, v = heads(q), heads(k), heads(v)
+            # fused Pallas kernel on TPU: scores never leave VMEM
+            out = fused_attention_auto(q, k, v, scale)
+            out = out.transpose(0, 2, 1, 3).reshape(b, n, inner)
         out = nn.Dense(self.dim, name="to_out")(out)
         return nn.Dropout(self.dropout, deterministic=not train)(out)
 

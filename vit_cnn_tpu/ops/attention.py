@@ -89,6 +89,285 @@ def _fa_bwd(scale, block_g, res, g):
 fused_attention.defvjp(_fa_fwd, _fa_bwd)
 
 
+def attention_reference_heads(q, k, v, scale: float,
+                              residual: bool = False):
+    """Head-last unfused formula: q/k/v (B, n, h, hd) -> (B, n, h, hd).
+
+    This is exactly the einsum/softmax/einsum the MHST pooled attention
+    (ref: HSPT.py:142-290) computes; kept as the XLA fallback and the
+    autodiff rule for the fused kernel. ``residual``: MViT residual
+    pooling — add q to every non-first (non-CLS) token's output."""
+    s = jnp.einsum("bihd,bjhd->bhij", q, k) * scale
+    p = jax.nn.softmax(s, axis=-1)
+    o = jnp.einsum("bhij,bjhd->bihd", p, v)
+    if residual:
+        o = o.at[:, 1:].add(q[:, 1:])
+    return o
+
+
+def _make_heads_kernel(scale: float, h: int, hd: int, residual: bool):
+    def kernel(q_ref, k_ref, v_ref, o_ref):
+        # Full-width MASKED dots: S_h = q @ (k * lane_mask_h)^T is a
+        # healthy (n, h*hd)@(h*hd, n) MXU contraction — the mask zeroes
+        # the other heads' channels so the wide dot sums only head h —
+        # and O = sum_h P_h @ (v * lane_mask_h) lands each head's output
+        # in its own lanes. Per-head narrow (n, hd) dots measured 7.6 ms
+        # vs 6.0 ms for this at the MHST shape; lane concatenates and
+        # (bb, n, n, c) product tensors crash Mosaic outright
+        # (perf/mhst_attn_variants.py).
+        q = q_ref[...]
+        k = k_ref[...]
+        v = v_ref[...]
+        bb, n, c = q.shape
+        lane_head = jax.lax.broadcasted_iota(jnp.int32, (bb, n, c), 2) // hd
+        acc = jnp.zeros((bb, n, c), jnp.float32)
+        for i in range(h):
+            kh = jnp.where(lane_head == i, k, jnp.zeros_like(k))
+            s = jax.lax.dot_general(
+                q, kh, (((2,), (2,)), ((0,), (0,))),
+                preferred_element_type=jnp.float32) * scale   # (bb, n, n)
+            m = jnp.max(s, axis=-1, keepdims=True)
+            p = jnp.exp(s - m)
+            p = (p / jnp.sum(p, axis=-1, keepdims=True)).astype(v.dtype)
+            vh = jnp.where(lane_head == i, v, jnp.zeros_like(v))
+            acc = acc + jax.lax.dot_general(
+                p, vh, (((2,), (1,)), ((0,), (0,))),
+                preferred_element_type=jnp.float32)
+        if residual:
+            # MViT residual pooling: out += q on every NON-FIRST token
+            # (row 0 is CLS; ref: HSPT.py:275-280) — folded here because
+            # XLA's .at[:, 1:].add is a 4 ms dynamic-update-slice pass
+            row = jax.lax.broadcasted_iota(jnp.int32, (bb, n, c), 1)
+            acc = acc + jnp.where(row >= 1, q, jnp.zeros_like(q)
+                                  ).astype(jnp.float32)
+        o_ref[...] = acc.astype(o_ref.dtype)
+
+    return kernel
+
+
+def _pallas_attention_heads(q, k, v, scale: float, block_g: int,
+                            residual: bool = False):
+    b, n, h, hd = q.shape
+    fold = lambda t: t.reshape(b, n, h * hd)
+    qf, kf, vf = fold(q), fold(k), fold(v)
+    pad = (-b) % block_g
+    if pad:
+        z = lambda x: jnp.concatenate(
+            [x, jnp.zeros((pad,) + x.shape[1:], x.dtype)], axis=0)
+        qf, kf, vf = z(qf), z(kf), z(vf)
+    bt = qf.shape[0]
+    spec = pl.BlockSpec((block_g, n, h * hd), lambda i: (i, 0, 0),
+                        memory_space=pltpu.VMEM)
+    o = pl.pallas_call(
+        _make_heads_kernel(scale, h, hd, residual),
+        grid=(bt // block_g,),
+        in_specs=[spec, spec, spec],
+        out_specs=spec,
+        out_shape=jax.ShapeDtypeStruct((bt, n, h * hd), q.dtype),
+    )(qf, kf, vf)
+    return o[:b].reshape(b, n, h, hd)
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
+def fused_attention_heads(q, k, v, scale: float, block_g: int = 32,
+                          residual: bool = False):
+    """Head-last multi-head attention with per-head scores kept in VMEM.
+
+    For MANY tiny heads (MHST: 16 heads of hd=4 over 65 tokens) XLA's
+    lowering of the head-folded einsum round-trips the (B, h, n, n)
+    score tensor through HBM (plus separate softmax passes) — measured
+    8.9 ms per 4096x16-head call, ~28.5 ms for the whole module, where
+    the traffic bound is ~0.2 ms (perf/profile_mhst.py,
+    perf/mhst_attn_variants.py). This kernel loads a block of batch rows
+    once, runs all heads' QK^T/softmax/PV (and optionally the MViT +q
+    residual on non-CLS tokens) in VMEM, one HBM pass over q/k/v/o.
+    block_g>32 overflows VMEM at the MHST shape: Mosaic does not reuse
+    buffers across the unrolled head iterations."""
+    return _pallas_attention_heads(q, k, v, scale, block_g, residual)
+
+
+def _fah_fwd(q, k, v, scale, block_g, residual):
+    return (_pallas_attention_heads(q, k, v, scale, block_g, residual),
+            (q, k, v))
+
+
+def _fah_bwd(scale, block_g, residual, res, g):
+    q, k, v = res
+    _, vjp = jax.vjp(partial(attention_reference_heads, scale=scale,
+                             residual=residual), q, k, v)
+    return vjp(g)
+
+
+fused_attention_heads.defvjp(_fah_fwd, _fah_bwd)
+
+
+def fused_attention_heads_auto(q, k, v, scale: float, block_g: int = 32,
+                               residual: bool = False):
+    """Pallas heads kernel on TPU; head-last reference formula elsewhere."""
+    if jax.default_backend() == "tpu":
+        return fused_attention_heads(q, k, v, scale, block_g, residual)
+    return attention_reference_heads(q, k, v, scale, residual)
+
+
+def ln_groups_reference(x, gamma, beta, hd: int, eps: float = 1e-5):
+    """LayerNorm over trailing hd-sized channel groups of (B, n, c) — the
+    per-(token, head) LN of the MHST pooled attention, with flax
+    LayerNorm's exact recipe (normalization.py): f32 stats, fast variance
+    E[x^2]-E[x]^2 clipped at 0, scale/bias of shape (hd,) shared across
+    heads."""
+    b, n, c = x.shape
+    xf = x.astype(jnp.float32).reshape(b, n, c // hd, hd)
+    mu = jnp.mean(xf, -1, keepdims=True)
+    var = jnp.maximum(jnp.mean(xf * xf, -1, keepdims=True) - mu * mu, 0.0)
+    y = (xf - mu) * jax.lax.rsqrt(var + eps)
+    y = y * gamma.astype(jnp.float32) + beta.astype(jnp.float32)
+    return y.reshape(b, n, c).astype(x.dtype)
+
+
+def pooled_attention_reference(q, k, v, ln_q, ln_k, ln_v, h: int,
+                               scale: float, residual: bool = True):
+    """Unfused composition: per-head-group LN on q/k/v, then head-last
+    attention with the MViT +q(post-LN) residual on non-CLS tokens
+    (ref: HSPT.py:142-290). q/k/v (B, n, c); ln_* = (scale, bias) of
+    shape (c//h,). XLA fallback + autodiff rule for the fused kernel."""
+    b, n, c = q.shape
+    hd = c // h
+    qn = ln_groups_reference(q, *ln_q, hd)
+    kn = ln_groups_reference(k, *ln_k, hd)
+    vn = ln_groups_reference(v, *ln_v, hd)
+    heads = lambda t: t.reshape(b, n, h, hd)
+    o = attention_reference_heads(heads(qn), heads(kn), heads(vn), scale,
+                                  residual)
+    return o.reshape(b, n, c)
+
+
+def _make_pooled_kernel(scale: float, h: int, hd: int, residual: bool,
+                        eps: float = 1e-5):
+    def kernel(q_ref, k_ref, v_ref, gq_ref, bq_ref, gk_ref, bk_ref,
+               gv_ref, bv_ref, gdn_ref, gup_ref, o_ref):
+        # gdn (c, h): lane -> head one-hot scaled by 1/hd (group MEAN via
+        # one MXU dot); gup (h, c): broadcast back. The (bb, n, 16, 4)
+        # reshape XLA needs for these stats is a lane-splitting relayout
+        # and cannot fuse into the pallas_call boundary — in-kernel the
+        # group stats are two small dots and the LN'd q/k/v never touch
+        # HBM.
+        gdn = gdn_ref[...]
+        gup = gup_ref[...]
+
+        def ln(x_ref, g_ref, b_ref):
+            x = x_ref[...].astype(jnp.float32)
+            mu = jax.lax.dot_general(
+                jax.lax.dot_general(x, gdn, (((2,), (0,)), ((), ()))),
+                gup, (((2,), (0,)), ((), ())))
+            sq = jax.lax.dot_general(
+                jax.lax.dot_general(x * x, gdn, (((2,), (0,)), ((), ()))),
+                gup, (((2,), (0,)), ((), ())))
+            var = jnp.maximum(sq - mu * mu, 0.0)
+            y = (x - mu) * jax.lax.rsqrt(var + eps)
+            return (y * g_ref[...] + b_ref[...]).astype(q_ref.dtype)
+
+        q = ln(q_ref, gq_ref, bq_ref)
+        k = ln(k_ref, gk_ref, bk_ref)
+        v = ln(v_ref, gv_ref, bv_ref)
+        bb, n, c = q.shape
+        lane_head = jax.lax.broadcasted_iota(jnp.int32, (bb, n, c), 2) // hd
+        acc = jnp.zeros((bb, n, c), jnp.float32)
+        for i in range(h):
+            kh = jnp.where(lane_head == i, k, jnp.zeros_like(k))
+            s = jax.lax.dot_general(
+                q, kh, (((2,), (2,)), ((0,), (0,))),
+                preferred_element_type=jnp.float32) * scale
+            m = jnp.max(s, axis=-1, keepdims=True)
+            p = jnp.exp(s - m)
+            p = (p / jnp.sum(p, axis=-1, keepdims=True)).astype(q.dtype)
+            vh = jnp.where(lane_head == i, v, jnp.zeros_like(v))
+            acc = acc + jax.lax.dot_general(
+                p, vh, (((2,), (1,)), ((0,), (0,))),
+                preferred_element_type=jnp.float32)
+        if residual:
+            row = jax.lax.broadcasted_iota(jnp.int32, (bb, n, c), 1)
+            acc = acc + jnp.where(row >= 1, q, jnp.zeros_like(q)
+                                  ).astype(jnp.float32)
+        o_ref[...] = acc.astype(o_ref.dtype)
+
+    return kernel
+
+
+def _pallas_pooled(q, k, v, gq, bq, gk, bk, gv, bv, h, scale, block_g,
+                   residual):
+    b, n, c = q.shape
+    hd = c // h
+    pad = (-b) % block_g
+    if pad:
+        z = lambda x: jnp.concatenate(
+            [x, jnp.zeros((pad,) + x.shape[1:], x.dtype)], axis=0)
+        q, k, v = z(q), z(k), z(v)
+    bt = q.shape[0]
+    lane = jnp.arange(c)
+    gdn = ((lane[:, None] // hd) == jnp.arange(h)[None, :]
+           ).astype(jnp.float32) / hd
+    gup = (gdn.T > 0).astype(jnp.float32)
+    tile = lambda p: jnp.tile(p.astype(jnp.float32), h).reshape(1, c)
+    spec = pl.BlockSpec((block_g, n, c), lambda i: (i, 0, 0),
+                        memory_space=pltpu.VMEM)
+    fix = lambda s: pl.BlockSpec(s, lambda i: (0,) * len(s),
+                                 memory_space=pltpu.VMEM)
+    o = pl.pallas_call(
+        _make_pooled_kernel(scale, h, hd, residual),
+        grid=(bt // block_g,),
+        in_specs=[spec, spec, spec] + [fix((1, c))] * 6 +
+                 [fix((c, h)), fix((h, c))],
+        out_specs=spec,
+        out_shape=jax.ShapeDtypeStruct((bt, n, c), q.dtype),
+    )(q, k, v, tile(gq), tile(bq), tile(gk), tile(bk), tile(gv), tile(bv),
+      gdn, gup)
+    return o[:b]
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(9, 10, 11, 12))
+def pooled_heads_attention(q, k, v, gq, bq, gk, bk, gv, bv, h: int,
+                           scale: float, block_g: int = 32,
+                           residual: bool = True):
+    """Fused per-head-group LN + multi-head attention + MViT residual.
+
+    One VMEM pass over the MHST pooled-attention tail: the three LNs over
+    hd-sized groups (whose lane-splitting reshapes otherwise materialize
+    at the kernel boundary), all heads' QK^T/softmax/PV via full-width
+    masked dots, and the +q residual on non-CLS rows."""
+    return _pallas_pooled(q, k, v, gq, bq, gk, bk, gv, bv, h, scale,
+                          block_g, residual)
+
+
+def _pha_fwd(q, k, v, gq, bq, gk, bk, gv, bv, h, scale, block_g, residual):
+    out = _pallas_pooled(q, k, v, gq, bq, gk, bk, gv, bv, h, scale,
+                         block_g, residual)
+    return out, (q, k, v, gq, bq, gk, bk, gv, bv)
+
+
+def _pha_bwd(h, scale, block_g, residual, res, g):
+    q, k, v, gq, bq, gk, bk, gv, bv = res
+    _, vjp = jax.vjp(
+        lambda q, k, v, gq, bq, gk, bk, gv, bv: pooled_attention_reference(
+            q, k, v, (gq, bq), (gk, bk), (gv, bv), h, scale, residual),
+        q, k, v, gq, bq, gk, bk, gv, bv)
+    return vjp(g)
+
+
+pooled_heads_attention.defvjp(_pha_fwd, _pha_bwd)
+
+
+def pooled_heads_attention_auto(q, k, v, ln_q, ln_k, ln_v, h: int,
+                                scale: float, block_g: int = 32,
+                                residual: bool = True):
+    """Fused kernel on TPU; unfused reference composition elsewhere."""
+    if jax.default_backend() == "tpu":
+        return pooled_heads_attention(q, k, v, ln_q[0], ln_q[1], ln_k[0],
+                                      ln_k[1], ln_v[0], ln_v[1], h, scale,
+                                      block_g, residual)
+    return pooled_attention_reference(q, k, v, ln_q, ln_k, ln_v, h, scale,
+                                      residual)
+
+
 def fused_attention_auto(q, k, v, scale: float, block_g: int = 16):
     """Pallas kernel on TPU; reference formula elsewhere.
 
