@@ -45,9 +45,15 @@ CONFIGS = [
     ("Early_fusion_CNN", 30, 20, {}),
     ("Middle_fusion_CNN", 30, 20, {}),
     ("Late_fusion_CNN", 30, 20, {}),
-    # Cross_fusion trains noisily on the tiny scene (3-seed band shows the
-    # single-run ref-vs-ours gap is within the reference's own spread)
-    ("Cross_fusion_CNN", 30, 20, {"_seeds": 3}),
+    # Cross_fusion trains noisily, and on the 28x28 scene OUR harness is
+    # systematically derailed by the best-val trap (val() skips
+    # ignored-label predictions; an early class-0-collapsed checkpoint
+    # scores a spurious 1.0 from the 2-3 kept pixels of the ~47-pixel
+    # val set and the >=-tie rule pins it — 3-seed ours mean was 37.6 vs
+    # ref 57.3). 40x40 gives BOTH harnesses the same bigger val set
+    # (~150 kept pixels), where best-val picks real checkpoints; the
+    # protocol itself is unchanged and stays identical on both sides.
+    ("Cross_fusion_CNN", 30, 20, {"_hw": (40, 40), "_seeds": 3}),
     ("S2ENet", 30, 20, {}),
     ("SpectralFormer", 30, 20, {}),
     ("FusAtNet", 20, 20, {"_hw": (40, 40)}),
