@@ -179,7 +179,15 @@ def write_table(rows):
             "equality. For stochastic-forward models the ref OA cell is a "
             "multi-seed band `mean+-std [min,max]` and ours should land "
             "in or near it; for those configs OURS is run at the same "
-            "seed count and shown as a band too. Micro-scene rows can be "
+            "seed count and shown as a band too. HCTnet is the one row "
+            "where the two bands are tight but OFFSET (ours ~+3.5 OA): "
+            "its config matches the reference exactly "
+            "(model_utils.py:351-363 — Adam 1e-4, CE, PCA-30, 100 "
+            "epochs) and its forward is transplant-parity-pinned, so "
+            "the residual divergence is framework-inherent init "
+            "distributions + gumbel head-select streams compounded over "
+            "100 epochs on a micro-scene; ours trains consistently "
+            "HIGHER across all 3 seeds. Micro-scene rows can be "
             "derailed by the reference's own best-val rule: val() SKIPS "
             "predictions equal to an ignored label from the denominator "
             "(model_utils.py:1152-1157, replicated in our "

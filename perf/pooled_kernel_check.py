@@ -60,4 +60,23 @@ err = float(jnp.max(jnp.abs(got.astype(jnp.float32)
                             - ref.astype(jnp.float32))))
 print(f"max|diff| = {err:.2e}")
 assert np.isfinite(err) and err < 0.1, "pooled kernel numerics off"
+
+# the plain heads kernel also serves every tiny-dim_head ViTBackbone
+# (nn/transformer.py routing): MHST en_transformer (65 tok) and
+# SpectralFormer/S2EFT (146 tok), all 4 heads of 16
+from vit_cnn_tpu.ops.attention import (attention_reference_heads,  # noqa: E402
+                                       fused_attention_heads)
+
+for label, (bb, n, h, hd) in (("en_transformer", (4096, 65, 4, 16)),
+                              ("spectralformer", (2048, 146, 4, 16))):
+    qh, kh, vh = (jax.random.normal(keys[i], (bb, n, h, hd), jnp.bfloat16)
+                  for i in range(3))
+    r = bench(lambda a, b, c: attention_reference_heads(a, b, c, hd ** -.5),
+              qh, kh, vh, label=f"{label} XLA einsum")
+    g = bench(lambda a, b, c: fused_attention_heads(a, b, c, hd ** -.5),
+              qh, kh, vh, label=f"{label} heads kernel")
+    e = float(jnp.max(jnp.abs(g.astype(jnp.float32)
+                              - r.astype(jnp.float32))))
+    print(f"{label}: max|diff| = {e:.2e}")
+    assert np.isfinite(e) and e < 0.1
 print("OK")
