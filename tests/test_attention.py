@@ -68,6 +68,21 @@ def test_heads_kernel_matches_reference_interpret():
                                    err_msg=f"residual={residual}")
 
 
+def test_heads_kernel_vitbackbone_shapes_interpret():
+    """The tiny-dim_head ViTBackbone routing (nn/transformer.py) reaches
+    the heads kernel at 4 heads of 16 over 65 and 146 tokens — pin those
+    shapes too (small batch, interpret mode)."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    for n in (65, 146):
+        q, k, v = _qkv_heads(jax.random.PRNGKey(n), b=5, n=n, h=4, hd=16)
+        with pltpu.force_tpu_interpret_mode():
+            got = fused_attention_heads(q, k, v, 0.25, 4)
+        want = attention_reference_heads(q, k, v, 0.25)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   rtol=2e-4, atol=2e-5, err_msg=f"n={n}")
+
+
 def test_heads_auto_reference_path_and_gradients():
     q, k, v = _qkv_heads(jax.random.PRNGKey(4))
     got = fused_attention_heads_auto(q, k, v, 0.5)   # CPU -> reference path
