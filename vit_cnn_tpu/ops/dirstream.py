@@ -27,6 +27,7 @@ directional gathers + shared MambaMixer conv stage).
 
 from __future__ import annotations
 
+import os
 from functools import partial
 from typing import Tuple
 
@@ -174,6 +175,101 @@ def _dir_conv_forward(u_lm, cw, cb, orders, rev_rows, block_b):
     return fwd, rev
 
 
+def _dir_conv_adjoint(u_lm, cw, cb, gf, gr, orders, rev_rows, block_b):
+    """Fused TPU adjoint. Returns (du, dcw, dcb) in the primal dtypes."""
+    L, d, b = u_lm.shape
+    nb, nr = len(orders), len(rev_rows)
+    k = cw.shape[0]
+    inv_orders = tuple(tuple(int(np.argwhere(np.asarray(o) == t)[0, 0])
+                             for t in range(L)) for o in orders)
+    pad = (-b) % block_b
+    z3 = lambda x: (jnp.concatenate(
+        [x, jnp.zeros(x.shape[:-1] + (pad,), x.dtype)], axis=-1)
+        if pad else x)
+    u_p, gf_p = z3(u_lm), z3(gf)
+    gr_p = z3(gr) if nr else jnp.zeros((1, L, d, u_p.shape[2]), gf.dtype)
+    bt = u_p.shape[2]
+    grid = bt // block_b
+
+    spec_u = pl.BlockSpec((L, d, block_b), lambda i: (0, 0, i),
+                          memory_space=pltpu.VMEM)
+    spec_g = lambda n: pl.BlockSpec((n, L, d, block_b),
+                                    lambda i: (0, 0, 0, i),
+                                    memory_space=pltpu.VMEM)
+    fix = lambda s: pl.BlockSpec(s, lambda i: (0,) * len(s),
+                                 memory_space=pltpu.VMEM)
+    part = lambda s: pl.BlockSpec((1,) + s, lambda i: (i,) + (0,) * len(s),
+                                  memory_space=pltpu.VMEM)
+    du, dcw_p, dcb_p = pl.pallas_call(
+        partial(_dir_conv_adj_kernel,
+                orders=tuple(map(tuple, orders)), inv_orders=inv_orders,
+                rev_rows=tuple(rev_rows), k=k),
+        grid=(grid,),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        in_specs=[spec_u, fix((k, d)), fix((1, d)), spec_g(nb),
+                  spec_g(max(nr, 1))],
+        out_specs=[spec_u, part((k, d)), part((1, d))],
+        out_shape=[jax.ShapeDtypeStruct((L, d, bt), u_lm.dtype),
+                   jax.ShapeDtypeStruct((grid, k, d), jnp.float32),
+                   jax.ShapeDtypeStruct((grid, 1, d), jnp.float32)],
+    )(u_p, cw, cb[None], gf_p, gr_p)
+    du = du[..., :b]
+    dcw = jnp.sum(dcw_p, axis=0).astype(cw.dtype)
+    dcb = jnp.sum(dcb_p, axis=0)[0].astype(cb.dtype)
+    return du, dcw, dcb
+
+
+def _dir_conv_adj_kernel(u_ref, cw_ref, cb_ref, gf_ref, gr_ref,
+                                du_ref, dcw_ref, dcb_ref, *,
+                                orders, inv_orders, rev_rows, k):
+    """Like _dir_conv_adj_kernel but with the conv bias included in the
+    recomputed z (SiLU' is evaluated at the BIASED preactivation)."""
+    u = u_ref[...].astype(jnp.float32)                  # (L, d, bb)
+    cw = cw_ref[...].astype(jnp.float32)                # (k, d)
+    cb = cb_ref[...].astype(jnp.float32)                # (1, d)
+    L, d, bb = u.shape
+
+    def shift(x, s, reverse):
+        if s == 0:
+            return x
+        if reverse:
+            return jnp.concatenate(
+                [x[s:], jnp.zeros((s, d, bb), jnp.float32)], axis=0)
+        return jnp.concatenate(
+            [jnp.zeros((s, d, bb), jnp.float32), x[:L - s]], axis=0)
+
+    du = jnp.zeros((L, d, bb), jnp.float32)
+    # per-tap rows as a python list: in-kernel .at[j].add would be a
+    # scatter, which Mosaic does not support
+    dcw_rows = [jnp.zeros((d,), jnp.float32) for _ in range(k)]
+    dcb = jnp.zeros((1, d), jnp.float32)
+    for n, order in enumerate(orders):
+        pu = jnp.concatenate([u[i:i + 1] for i in order], axis=0)
+        streams = [(False, gf_ref[n])]
+        if n in rev_rows:
+            streams.append((True, gr_ref[rev_rows.index(n)]))
+        dpu = jnp.zeros((L, d, bb), jnp.float32)
+        for reverse, graw in streams:
+            g = graw.astype(jnp.float32)
+            z = jnp.zeros((L, d, bb), jnp.float32) + cb[0][None, :, None]
+            for j in range(k):
+                z = z + cw[j][None, :, None] * shift(pu, k - 1 - j, reverse)
+            sig = jax.nn.sigmoid(z)
+            dz = g * sig * (1.0 + z * (1.0 - sig))
+            dcb = dcb + jnp.sum(dz, axis=(0, 2))[None]
+            for j in range(k):
+                s = k - 1 - j
+                dcw_rows[j] = dcw_rows[j] + jnp.sum(
+                    dz * shift(pu, s, reverse), axis=(0, 2))
+                dpu = dpu + cw[j][None, :, None] * shift(dz, s, not reverse)
+        du = du + jnp.concatenate(
+            [dpu[i:i + 1] for i in inv_orders[n]], axis=0)
+    du_ref[...] = du.astype(du_ref.dtype)
+    dcw_ref[...] = jnp.stack(dcw_rows)[None].astype(dcw_ref.dtype)
+    dcb_ref[...] = dcb[None].astype(dcb_ref.dtype)
+
+
 def _dcs_fwd(u_lm, cw, cb, orders, rev_rows, block_b):
     return (_dir_conv_forward(u_lm, cw, cb, orders, rev_rows, block_b),
             (u_lm, cw, cb))
@@ -181,6 +277,14 @@ def _dcs_fwd(u_lm, cw, cb, orders, rev_rows, block_b):
 
 def _dcs_bwd(orders, rev_rows, block_b, res, g):
     u_lm, cw, cb = res
+    if (jax.default_backend() == "tpu"
+            and os.environ.get("VCT_DIRSTREAM_FUSED_BWD", "1") != "0"):
+        # fused adjoint: one HBM pass (the XLA path re-runs the UNFUSED
+        # permute->conv->SiLU forward and differentiates it — the very
+        # traffic the fused forward eliminated; see ROOFLINE round-3
+        # train section)
+        return _dir_conv_adjoint(u_lm, cw, cb, g[0], g[1], orders,
+                                 rev_rows, block_b)
     _, vjp = jax.vjp(
         lambda u, w, b: dir_conv_silu_reference(u, w, b, orders, rev_rows),
         u_lm, cw, cb)
@@ -259,6 +363,82 @@ def _inv_sum_forward(y_fwd, y_rev, w_fwd, w_rev, inv_orders, rev_rows,
     return out[..., :b]
 
 
+def _inv_sum_adj_kernel(g_ref, yf_ref, yr_ref, wf_ref, wr_ref,
+                        dyf_ref, dyr_ref, dwf_ref, dwr_ref, *,
+                        orders, rev_rows):
+    """Adjoint: out[t] = sum_i w_i * y_i[inv_i[t]]  =>
+    dy_i = w_i * g[order_i]  (order_i = inverse of inv_i) and
+    dw_i = sum(g[order_i] * y_i) — per-grid-cell partials for dw."""
+    g = g_ref[...].astype(jnp.float32)                  # (L, d, bb)
+    wf = wf_ref[...].astype(jnp.float32)                # (1, nb)
+    wr = wr_ref[...].astype(jnp.float32)                # (1, max(nr,1))
+    nb = yf_ref.shape[0]
+    dwf = []
+    dwr = []
+    for i in range(nb):
+        pg = jnp.concatenate([g[t:t + 1] for t in orders[i]], axis=0)
+        dyf_ref[i] = (wf[0, i] * pg).astype(dyf_ref.dtype)
+        dwf.append(jnp.sum(pg * yf_ref[i].astype(jnp.float32)))
+    for j, r in enumerate(rev_rows):
+        pg = jnp.concatenate([g[t:t + 1] for t in orders[r]], axis=0)
+        dyr_ref[j] = (wr[0, j] * pg).astype(dyr_ref.dtype)
+        dwr.append(jnp.sum(pg * yr_ref[j].astype(jnp.float32)))
+    dwf_ref[...] = jnp.stack(dwf)[None]
+    if rev_rows:
+        dwr_ref[...] = jnp.stack(dwr)[None]
+    else:
+        dwr_ref[...] = jnp.zeros(dwr_ref.shape, dwr_ref.dtype)
+
+
+def _inv_sum_adjoint(y_fwd, y_rev, w_fwd, w_rev, g, inv_orders, rev_rows,
+                     block_b):
+    nb, L, d, b = y_fwd.shape
+    nr = y_rev.shape[0]
+    orders = tuple(tuple(int(np.argwhere(np.asarray(inv) == t)[0, 0])
+                         for t in range(L)) for inv in inv_orders)
+    pad = (-b) % block_b
+    z3 = lambda x: (jnp.concatenate(
+        [x, jnp.zeros(x.shape[:-1] + (pad,), x.dtype)], axis=-1)
+        if pad else x)
+    g_p, yf_p = z3(g), z3(y_fwd)
+    yr_p = z3(y_rev) if nr else jnp.zeros((1, L, d, g_p.shape[2]), g.dtype)
+    bt = g_p.shape[2]
+    grid = bt // block_b
+
+    spec_g = pl.BlockSpec((L, d, block_b), lambda i: (0, 0, i),
+                          memory_space=pltpu.VMEM)
+    spec = lambda n: pl.BlockSpec((n, L, d, block_b),
+                                  lambda i: (0, 0, 0, i),
+                                  memory_space=pltpu.VMEM)
+    fix = lambda s: pl.BlockSpec(s, lambda i: (0,) * len(s),
+                                 memory_space=pltpu.VMEM)
+    part = lambda n: pl.BlockSpec((1, n), lambda i: (i, 0),
+                                  memory_space=pltpu.VMEM)
+    dyf, dyr, dwf_p, dwr_p = pl.pallas_call(
+        partial(_inv_sum_adj_kernel, orders=orders,
+                rev_rows=tuple(rev_rows)),
+        grid=(grid,),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        in_specs=[spec_g, spec(nb), spec(max(nr, 1)), fix((1, nb)),
+                  fix((1, max(nr, 1)))],
+        out_specs=[spec(nb), spec(max(nr, 1)), part(nb), part(max(nr, 1))],
+        out_shape=[jax.ShapeDtypeStruct((nb, L, d, bt), y_fwd.dtype),
+                   jax.ShapeDtypeStruct((max(nr, 1), L, d, bt),
+                                        y_fwd.dtype),
+                   jax.ShapeDtypeStruct((grid, nb), jnp.float32),
+                   jax.ShapeDtypeStruct((grid, max(nr, 1)), jnp.float32)],
+    )(g_p, yf_p, yr_p, w_fwd.astype(jnp.float32)[None],
+      (w_rev if nr else jnp.zeros((1,), jnp.float32)
+       ).astype(jnp.float32)[None])
+    dyf = dyf[..., :b]
+    dyr = dyr[..., :b] if nr else jnp.zeros((0, L, d, b), y_fwd.dtype)
+    dwf = jnp.sum(dwf_p, axis=0).astype(w_fwd.dtype)
+    dwr = (jnp.sum(dwr_p, axis=0)[:nr].astype(w_rev.dtype) if nr
+           else jnp.zeros_like(w_rev))
+    return dyf, dyr, dwf, dwr
+
+
 def _ips_fwd(y_fwd, y_rev, w_fwd, w_rev, inv_orders, rev_rows, block_b):
     return (_inv_sum_forward(y_fwd, y_rev, w_fwd, w_rev, inv_orders,
                              rev_rows, block_b),
@@ -267,6 +447,10 @@ def _ips_fwd(y_fwd, y_rev, w_fwd, w_rev, inv_orders, rev_rows, block_b):
 
 def _ips_bwd(inv_orders, rev_rows, block_b, res, g):
     y_fwd, y_rev, w_fwd, w_rev = res
+    if (jax.default_backend() == "tpu"
+            and os.environ.get("VCT_DIRSTREAM_FUSED_BWD", "1") != "0"):
+        return _inv_sum_adjoint(y_fwd, y_rev, w_fwd, w_rev, g, inv_orders,
+                                rev_rows, block_b)
     _, vjp = jax.vjp(
         lambda yf, yr, wf, wr: inv_perm_weighted_sum_reference(
             yf, yr, inv_orders, rev_rows, wf, wr),
