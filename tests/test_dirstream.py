@@ -82,6 +82,45 @@ def test_inv_sum_adjoint_matches_vjp_interpret():
                                    rtol=2e-4, atol=2e-5, err_msg=name)
 
 
+def test_layer_gradients_through_fused_adjoints(monkeypatch):
+    """End-to-end: MultiDirMambaLayer gradients with the FUSED adjoint
+    kernels (VCT_DIRSTREAM_FUSED_BWD=force + lane-major force, under the
+    Pallas interpreter) must match the generic batch-major path — the
+    same contract test_lane_major_gradients_match_generic pins for the
+    XLA-recompute backward."""
+    from vit_cnn_tpu.nn.mamba import MultiDirMambaLayer
+    from vit_cnn_tpu.nn.precision import cast_floating
+
+    hidden, inter = 24, 12
+    key = jax.random.PRNGKey(7)
+    x = jax.random.normal(key, (4, 9, hidden))
+    layer = MultiDirMambaLayer(hidden, inter, path_type="9_2+8",
+                               use_pallas=True)
+    variables = layer.init({"params": key}, x)
+    vb = cast_floating(variables["params"], jnp.bfloat16)
+    xb = x.astype(jnp.bfloat16)
+
+    def loss(params, xx):
+        return jnp.sum(layer.apply({"params": params}, xx)
+                       .astype(jnp.float32) ** 2)
+
+    monkeypatch.setenv("VCT_LANE_MAJOR", "0")
+    g_ref = jax.grad(loss)(vb, xb)
+    monkeypatch.setenv("VCT_LANE_MAJOR", "force")
+    monkeypatch.setenv("VCT_DIRSTREAM_FUSED_BWD", "force")
+    with pltpu.force_tpu_interpret_mode():
+        g_fused = jax.grad(loss)(vb, xb)
+    flat_r = jax.tree_util.tree_flatten_with_path(g_ref)[0]
+    flat_f = jax.tree_util.tree_flatten_with_path(g_fused)[0]
+    for (path, r), (_, f) in zip(flat_r, flat_f):
+        r = np.asarray(r, np.float32)
+        f = np.asarray(f, np.float32)
+        scale = max(np.max(np.abs(r)), 1e-3)
+        np.testing.assert_allclose(
+            f / scale, r / scale, rtol=0, atol=6e-2,
+            err_msg=f"fused-adjoint gradient diverged: {path}")
+
+
 def test_inv_sum_adjoint_no_reverse_interpret():
     ks = jax.random.split(jax.random.PRNGKey(5), 4)
     yf = jax.random.normal(ks[0], (3, L, D, B))

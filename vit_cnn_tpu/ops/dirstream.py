@@ -277,8 +277,8 @@ def _dcs_fwd(u_lm, cw, cb, orders, rev_rows, block_b):
 
 def _dcs_bwd(orders, rev_rows, block_b, res, g):
     u_lm, cw, cb = res
-    if (jax.default_backend() == "tpu"
-            and os.environ.get("VCT_DIRSTREAM_FUSED_BWD", "1") != "0"):
+    env = os.environ.get("VCT_DIRSTREAM_FUSED_BWD", "1")
+    if env != "0" and (jax.default_backend() == "tpu" or env == "force"):
         # fused adjoint: one HBM pass (the XLA path re-runs the UNFUSED
         # permute->conv->SiLU forward and differentiates it — the very
         # traffic the fused forward eliminated; see ROOFLINE round-3
@@ -447,8 +447,8 @@ def _ips_fwd(y_fwd, y_rev, w_fwd, w_rev, inv_orders, rev_rows, block_b):
 
 def _ips_bwd(inv_orders, rev_rows, block_b, res, g):
     y_fwd, y_rev, w_fwd, w_rev = res
-    if (jax.default_backend() == "tpu"
-            and os.environ.get("VCT_DIRSTREAM_FUSED_BWD", "1") != "0"):
+    env = os.environ.get("VCT_DIRSTREAM_FUSED_BWD", "1")
+    if env != "0" and (jax.default_backend() == "tpu" or env == "force"):
         return _inv_sum_adjoint(y_fwd, y_rev, w_fwd, w_rev, g, inv_orders,
                                 rev_rows, block_b)
     _, vjp = jax.vjp(
