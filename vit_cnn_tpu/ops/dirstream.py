@@ -277,7 +277,10 @@ def _dcs_fwd(u_lm, cw, cb, orders, rev_rows, block_b):
 
 def _dcs_bwd(orders, rev_rows, block_b, res, g):
     u_lm, cw, cb = res
-    env = os.environ.get("VCT_DIRSTREAM_FUSED_BWD", "1")
+    # default OFF until the adjoint kernels are Mosaic-verified on the real
+    # chip (perf/pooled_kernel_check.py chain) — a compile failure here
+    # would take down the whole train step
+    env = os.environ.get("VCT_DIRSTREAM_FUSED_BWD", "0")
     if env != "0" and (jax.default_backend() == "tpu" or env == "force"):
         # fused adjoint: one HBM pass (the XLA path re-runs the UNFUSED
         # permute->conv->SiLU forward and differentiates it — the very
@@ -447,7 +450,10 @@ def _ips_fwd(y_fwd, y_rev, w_fwd, w_rev, inv_orders, rev_rows, block_b):
 
 def _ips_bwd(inv_orders, rev_rows, block_b, res, g):
     y_fwd, y_rev, w_fwd, w_rev = res
-    env = os.environ.get("VCT_DIRSTREAM_FUSED_BWD", "1")
+    # default OFF until the adjoint kernels are Mosaic-verified on the real
+    # chip (perf/pooled_kernel_check.py chain) — a compile failure here
+    # would take down the whole train step
+    env = os.environ.get("VCT_DIRSTREAM_FUSED_BWD", "0")
     if env != "0" and (jax.default_backend() == "tpu" or env == "force"):
         return _inv_sum_adjoint(y_fwd, y_rev, w_fwd, w_rev, g, inv_orders,
                                 rev_rows, block_b)
