@@ -103,10 +103,19 @@ def measure_ours(img1, img2):
     probs = full_scene()
     warm = time.time() - t0
     rate = n_windows / warm
+    # steady state: the same resident scene program with the result kept
+    # ON DEVICE, fenced by a 1-float fetch — what a consumer that chains
+    # on-device work pays per scene. warm - steady = map assembly + the
+    # ~40 MB result download (VERDICT r3 #8: both headlines, one JSON)
+    t0 = time.time()
+    pd = full_scene_probabilities(module, variables, img1, img2, hp,
+                                  chunk=rows * wc, out="device")
+    _ = float(pd[0, 0, 0])               # host transfer = completion fence
+    steady = time.time() - t0
     log("ours: {:.0f} patches/sec/chip | full scene cold {:.1f}s "
-        "warm fresh-scene {:.2f}s resident {:.2f}s".format(
-            rate, cold, warm_fresh, warm))
-    return rate, cold, warm_fresh, warm
+        "warm fresh-scene {:.2f}s resident {:.2f}s steady(device-out) "
+        "{:.2f}s".format(rate, cold, warm_fresh, warm, steady))
+    return rate, cold, warm_fresh, warm, steady
 
 
 def measure_train_ours(img1, img2, batch_size=1024, budget_s=6.0):
@@ -246,7 +255,7 @@ def measure_torch_baseline(img1, img2, budget_s=30.0):
 
 def main():
     img1, img2 = synthetic_scene()
-    ours, cold_s, warm_fresh_s, warm_s = measure_ours(img1, img2)
+    ours, cold_s, warm_fresh_s, warm_s, steady_s = measure_ours(img1, img2)
     train_ours = measure_train_ours(img1, img2)
     base = measure_torch_baseline(img1, img2)
 
@@ -284,6 +293,10 @@ def main():
             "full_scene_s_cold": round(cold_s, 1),
             "full_scene_s_warm_fresh_scene": round(warm_fresh_s, 2),
             "full_scene_s_warm_resident": round(warm_s, 2),
+            "full_scene_s_steady_device_out": round(steady_s, 2),
+            "steady_state_patches_per_sec_chip":
+                round((H - PATCH + 1) * (W - PATCH + 1) / steady_s, 1),
+            "result_download_assembly_s": round(warm_s - steady_s, 2),
         },
     }))
 

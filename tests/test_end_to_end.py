@@ -376,3 +376,16 @@ def test_scene_cache_identity_eviction_and_reuse(trained):
     gc.collect()
     assert len(fullscene._scene_cache) < n_before, \
         "dropping the host array must evict its cache entry"
+
+
+def test_device_out_matches_host_out(trained):
+    """out="device" (bench.py steady-state path) returns the same map as
+    the default host fetch, as a device array."""
+    import jax
+
+    module, best, trainer, hp, (img1, img2, gt, test_gt) = trained
+    ph = full_scene_probabilities(module, best, img1, img2, hp, chunk=512)
+    pd = full_scene_probabilities(module, best, img1, img2, hp, chunk=512,
+                                  out="device")
+    assert isinstance(pd, jax.Array)
+    np.testing.assert_array_equal(ph, np.asarray(pd))

@@ -354,7 +354,24 @@ def run_experiments(args) -> List[Dict]:
     return results
 
 
+def _honor_jax_platforms_env():
+    """Apply JAX_PLATFORMS via jax.config: on this deployment jax is
+    pre-imported by a sitecustomize that pins the TPU plugin, so the env
+    var alone is silently ignored (same reason tests/conftest.py uses
+    config.update). Without this, `JAX_PLATFORMS=cpu python main.py ...`
+    hangs trying to initialize an unreachable TPU backend."""
+    plats = os.environ.get("JAX_PLATFORMS")
+    if plats:
+        import jax
+
+        try:
+            jax.config.update("jax_platforms", plats)
+        except Exception:
+            pass                      # backend already initialized
+
+
 def main(argv=None):
+    _honor_jax_platforms_env()
     args = build_parser().parse_args(argv)
     if args.pretrain:
         return run_pretrain(args)

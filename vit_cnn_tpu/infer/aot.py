@@ -8,15 +8,17 @@ sidesteps both: the COMPILED executable is pickled once and deserialized
 in ~0.2 s by any later process on the same topology/runtime
 (perf/aot_probe.py, 2026-08-17).
 
-Staleness: the key covers the jax version, the module repr (architecture
-config), every argument's shape/dtype and the static call parameters — but
-NOT the Python source of the model. Editing model code without changing
-its config repr requires clearing the cache (or set VCT_AOT_SALT).
+Staleness: the key covers the jax/jaxlib versions, a content hash of the
+package's compute-relevant source (models/nn/ops/infer/pipeline — so
+editing kernel or model code invalidates entries automatically, ADVICE r3),
+the module repr (architecture config), every argument's shape/dtype and
+the static call parameters. ``VCT_AOT_SALT`` remains a manual override.
 Deserialization failures fall back to a normal jit compile transparently.
 """
 
 from __future__ import annotations
 
+import glob
 import hashlib
 import os
 import pickle
@@ -32,6 +34,23 @@ def cache_dir() -> str:
     return d
 
 
+_SOURCE_HASH: list = []       # computed once per process
+
+
+def _source_hash() -> str:
+    """Content hash of every .py under the package's compute-path dirs."""
+    if not _SOURCE_HASH:
+        pkg = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        h = hashlib.sha256()
+        for sub in ("models", "nn", "ops", "infer", "pipeline"):
+            for path in sorted(glob.glob(os.path.join(pkg, sub, "*.py"))):
+                h.update(os.path.basename(path).encode())
+                with open(path, "rb") as f:
+                    h.update(f.read())
+        _SOURCE_HASH.append(h.hexdigest())
+    return _SOURCE_HASH[0]
+
+
 def _describe(tree) -> str:
     leaves, treedef = jax.tree_util.tree_flatten(tree)
     parts = [str(treedef)]
@@ -43,6 +62,8 @@ def _describe(tree) -> str:
 def cache_key(key_parts, example_args) -> str:
     h = hashlib.sha256()
     h.update(jax.__version__.encode())
+    h.update(getattr(jax.lib, "__version__", "").encode())
+    h.update(_source_hash().encode())
     h.update(os.environ.get("VCT_AOT_SALT", "").encode())
     for p in key_parts:
         h.update(repr(p).encode())

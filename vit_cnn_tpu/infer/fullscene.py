@@ -279,7 +279,8 @@ def _sharded_chunk_scatter(mesh, patch_size: int, apply_fn):
 
 def full_scene_probabilities(module, variables, img1: np.ndarray,
                              img2: np.ndarray, hyperparams: Dict,
-                             chunk: int = 8192, mesh=None) -> np.ndarray:
+                             chunk: int = 8192, mesh=None,
+                             out: str = "host") -> np.ndarray:
     """Class-score map (H, W, n_classes), matching ref: model_utils.py:test.
 
     Center-pixel accumulation only (every model in the zoo is
@@ -287,6 +288,11 @@ def full_scene_probabilities(module, variables, img1: np.ndarray,
     features, using the model's own component count — the reference
     hardcodes 3 (ref: model_utils.py:1076-1077) which contradicts its own
     30-band HCTnet config; see QUIRKS.md.
+
+    ``out="device"`` (stride-1 single-chip path only) returns the map as a
+    device array instead of fetching it to host — callers that feed a
+    downstream on-device consumer (or measure steady-state compute,
+    bench.py) skip the ~40 MB result download.
     """
     patch_size = int(hyperparams["patch_size"])
     n_classes = int(hyperparams["n_classes"])
@@ -367,6 +373,8 @@ def full_scene_probabilities(module, variables, img1: np.ndarray,
             except Exception:
                 scene_fn = None       # fall back to the plain jit path
         probs = (scene_fn or jitted)(*example)
+        if out == "device":
+            return probs[:h]
         return np.asarray(probs[:h])
 
     origins = sliding_window_origins(h, w, patch_size, step)

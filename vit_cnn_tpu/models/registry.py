@@ -79,7 +79,8 @@ def _build_mft(hp):
 def _build_hctnet(hp):
     from .hctnet import HCTnet
 
-    n_bands = 30 if hp.get("applyPCA") else hp["n_bands"][0]
+    n_bands = (hp.get("pca_components", 30) if hp.get("applyPCA")
+               else hp["n_bands"][0])
     return HCTnet(n_bands1=n_bands, n_bands2=hp["n_bands"][1],
                   n_classes=hp["n_classes"], num_tokens=6, heads=8)
 

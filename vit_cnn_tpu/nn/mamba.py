@@ -27,7 +27,6 @@ we use the standard Mamba dt init (documented divergence).
 from __future__ import annotations
 
 import math
-import os
 from typing import Callable, Optional
 
 import flax.linen as nn
@@ -38,6 +37,7 @@ import numpy as np
 from ..ops.scan_paths import (base_paths, inverse_permutation,
                               path_orderings, path_spec)
 from ..ops.selective_scan import selective_scan_auto
+from ..utils.envflags import kernel_gate
 
 
 def _dt_bias_init(key, shape, dtype=jnp.float32):
@@ -329,11 +329,13 @@ class MultiDirMambaLayer(nn.Module):
         # accumulation. Exactly 2 layout transposes remain per layer
         # (u in, y out). bf16 + static orderings only (shuffle paths keep
         # the generic batch-major formulation).
-        env = os.environ.get("VCT_LANE_MAJOR", "")
+        # default ON: the lane-major fused forward is hardware-verified
+        # (round 2/3); the adjoints are separately gated by
+        # VCT_DIRSTREAM_FUSED_BWD (default OFF) — see utils/envflags.py
         lane = (self.use_pallas and spec.combine != "dynamic"
                 and spec.n_shuffle == 0
-                and u.dtype == jnp.bfloat16 and env != "0"
-                and (jax.default_backend() == "tpu" or env == "force"))
+                and u.dtype == jnp.bfloat16
+                and kernel_gate("VCT_LANE_MAJOR", "1"))
         if lane:
             from ..ops.dirstream import dir_conv_silu, inv_perm_weighted_sum
 

@@ -359,8 +359,17 @@ pooled_heads_attention.defvjp(_pha_fwd, _pha_bwd)
 def pooled_heads_attention_auto(q, k, v, ln_q, ln_k, ln_v, h: int,
                                 scale: float, block_g: int = 32,
                                 residual: bool = True):
-    """Fused kernel on TPU; unfused reference composition elsewhere."""
-    if jax.default_backend() == "tpu":
+    """Fused kernel behind VCT_POOLED_ATTN; reference composition else.
+
+    Default OFF until `perf/pooled_kernel_check.py` passes on the real
+    chip: the LN-fold variant has never compiled on hardware, and this
+    kernel family produced remote-compiler failures during development
+    (perf/mhst_attn_variants.py log). Flip the default to "1" only after
+    the hardware gate passes.
+    """
+    from ..utils.envflags import kernel_gate
+
+    if kernel_gate("VCT_POOLED_ATTN", "0"):
         return pooled_heads_attention(q, k, v, ln_q[0], ln_q[1], ln_k[0],
                                       ln_k[1], ln_v[0], ln_v[1], h, scale,
                                       block_g, residual)

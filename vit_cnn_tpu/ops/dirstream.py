@@ -27,7 +27,6 @@ directional gathers + shared MambaMixer conv stage).
 
 from __future__ import annotations
 
-import os
 from functools import partial
 from typing import Tuple
 
@@ -36,6 +35,8 @@ import jax.numpy as jnp
 import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
+
+from ..utils.envflags import kernel_gate
 
 
 # ---------------------------------------------------------------------------
@@ -223,8 +224,9 @@ def _dir_conv_adjoint(u_lm, cw, cb, gf, gr, orders, rev_rows, block_b):
 def _dir_conv_adj_kernel(u_ref, cw_ref, cb_ref, gf_ref, gr_ref,
                                 du_ref, dcw_ref, dcb_ref, *,
                                 orders, inv_orders, rev_rows, k):
-    """Like _dir_conv_adj_kernel but with the conv bias included in the
-    recomputed z (SiLU' is evaluated at the BIASED preactivation)."""
+    """Fused adjoint of the permute+depthwise-conv+SiLU forward: one VMEM
+    pass recomputes the biased preactivation z (SiLU' is evaluated at z,
+    bias included) and accumulates du / dcw / dcb for every direction."""
     u = u_ref[...].astype(jnp.float32)                  # (L, d, bb)
     cw = cw_ref[...].astype(jnp.float32)                # (k, d)
     cb = cb_ref[...].astype(jnp.float32)                # (1, d)
@@ -280,8 +282,7 @@ def _dcs_bwd(orders, rev_rows, block_b, res, g):
     # default OFF until the adjoint kernels are Mosaic-verified on the real
     # chip (perf/pooled_kernel_check.py chain) — a compile failure here
     # would take down the whole train step
-    env = os.environ.get("VCT_DIRSTREAM_FUSED_BWD", "0")
-    if env != "0" and (jax.default_backend() == "tpu" or env == "force"):
+    if kernel_gate("VCT_DIRSTREAM_FUSED_BWD", "0"):
         # fused adjoint: one HBM pass (the XLA path re-runs the UNFUSED
         # permute->conv->SiLU forward and differentiates it — the very
         # traffic the fused forward eliminated; see ROOFLINE round-3
@@ -453,8 +454,7 @@ def _ips_bwd(inv_orders, rev_rows, block_b, res, g):
     # default OFF until the adjoint kernels are Mosaic-verified on the real
     # chip (perf/pooled_kernel_check.py chain) — a compile failure here
     # would take down the whole train step
-    env = os.environ.get("VCT_DIRSTREAM_FUSED_BWD", "0")
-    if env != "0" and (jax.default_backend() == "tpu" or env == "force"):
+    if kernel_gate("VCT_DIRSTREAM_FUSED_BWD", "0"):
         return _inv_sum_adjoint(y_fwd, y_rev, w_fwd, w_rev, g, inv_orders,
                                 rev_rows, block_b)
     _, vjp = jax.vjp(

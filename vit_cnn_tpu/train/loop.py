@@ -96,12 +96,17 @@ class Trainer:
             module.apply, variables, self.tx)
         self.np_rng = np.random.RandomState(seed)
 
-        # bf16 training: store the TRAIN gather sources in bf16 — the step
-        # casts gathered patches to bf16 anyway (cast commutes with
-        # gather, so results are bit-identical) and half-width rows halve
-        # the dominant gather traffic (perf/profile_train.py). The val
-        # pipeline stays f32: evaluation runs the f32 path.
+        # bf16 training: store the TRAIN gather sources in bf16. The
+        # GATHER itself is bit-identical (cast commutes with gather) and
+        # half-width rows halve the dominant gather traffic
+        # (perf/profile_train.py); downstream augmentation now runs in
+        # bf16 rather than f32-then-cast — an accepted train-path
+        # precision change. The val pipeline must stay f32 (evaluation
+        # runs the f32 path), so it must be a distinct object.
         if hyperparams.get("bf16"):
+            assert pipeline is not val_pipeline, (
+                "bf16 training casts the train pipeline's scenes in place;"
+                " pass a separate val_pipeline so eval gathers stay f32")
             pipeline.to_compute_dtype(jnp.bfloat16)
 
         # large rasters ride as runtime args through every jit boundary
