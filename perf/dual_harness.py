@@ -37,14 +37,15 @@ from ref_harness import (run_our_experiment,  # noqa: E402
 
 CONFIGS = [
     # (name, epochs, bands, extra hp). "_hw": bigger scene for big patches
-    # (interior-pixel rule); "_seeds": N reference seeds for models with
-    # stochastic forward passes (gumbel head-select) — the ref OA cell
-    # then reports mean+-std [min,max] and ours must land in/near the band
-    # (VERDICT r2 #4).
+    # (interior-pixel rule); "_seeds": N seeds PER SIDE — micro-scene
+    # training is noisy for both harnesses, so every substantive row is a
+    # band-vs-band comparison (mean+-std [min,max]); single-seed rows
+    # remain only where both sides sit at 100.00 (EndNet, SpectralFormer)
+    # and a band adds nothing (VERDICT r2 #4, r3 weak #5).
     ("EndNet", 15, 20, {}),
-    ("Early_fusion_CNN", 30, 20, {}),
-    ("Middle_fusion_CNN", 30, 20, {}),
-    ("Late_fusion_CNN", 30, 20, {}),
+    ("Early_fusion_CNN", 30, 20, {"_seeds": 3}),
+    ("Middle_fusion_CNN", 30, 20, {"_seeds": 3}),
+    ("Late_fusion_CNN", 30, 20, {"_seeds": 3}),
     # Cross_fusion trains noisily, and on the 28x28 scene OUR harness is
     # systematically derailed by the best-val trap (val() skips
     # ignored-label predictions; an early class-0-collapsed checkpoint
@@ -54,15 +55,15 @@ CONFIGS = [
     # (~150 kept pixels), where best-val picks real checkpoints; the
     # protocol itself is unchanged and stays identical on both sides.
     ("Cross_fusion_CNN", 30, 20, {"_hw": (40, 40), "_seeds": 3}),
-    ("S2ENet", 30, 20, {}),
+    ("S2ENet", 30, 20, {"_seeds": 3}),
     ("SpectralFormer", 30, 20, {}),
-    ("FusAtNet", 20, 20, {"_hw": (40, 40)}),
-    ("MFT", 40, 20, {"_hw": (40, 40)}),
+    ("FusAtNet", 20, 20, {"_hw": (40, 40), "_seeds": 3}),
+    ("MFT", 40, 20, {"_hw": (40, 40), "_seeds": 3}),
     # PCA-30 + transformer path; patch 11 leaves only (28-10)^2 interior
     # pixels on the default scene -> use 40x40 so both harnesses converge
     ("HCTnet", 100, 40, {"_hw": (40, 40), "_seeds": 3}),
     ("MHST", 30, 20, {"_hw": (40, 40), "_seeds": 3}),
-    ("Multimodality_Mamba", 20, 144, {}),  # ref flagship needs 144 bands
+    ("Multimodality_Mamba", 20, 144, {"_seeds": 3}),  # ref flagship needs 144 bands
     # S2EFT excluded: the reference model is unrunnable as wired
     # (missing F import + 2-arg call into mask, QUIRKS.md repair #1)
 ]
