@@ -125,6 +125,38 @@ def test_pooled_kernel_matches_reference_interpret():
                                    err_msg=f"residual={residual}")
 
 
+def test_pooled_auto_middle_path_matches_reference_interpret():
+    """The gated-off TPU fallback of pooled_heads_attention_auto (XLA
+    hd-group LNs + the hardware-verified heads kernel) == the pure
+    reference composition — MHST's default serving path while
+    VCT_POOLED_ATTN stays 0 (VERDICT r3 #2/#3)."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    from vit_cnn_tpu.ops.attention import (fused_attention_heads,
+                                           ln_groups_reference,
+                                           pooled_attention_reference)
+
+    b, n, h, hd = 6, 9, 5, 4
+    c = h * hd
+    keys = jax.random.split(jax.random.PRNGKey(7), 9)
+    q, k, v = (jax.random.normal(keys[i], (b, n, c)) for i in range(3))
+    lns = [(1.0 + 0.1 * jax.random.normal(keys[3 + 2 * i], (hd,)),
+            0.1 * jax.random.normal(keys[4 + 2 * i], (hd,)))
+           for i in range(3)]
+    for residual in (True, False):
+        heads = lambda t, ln: ln_groups_reference(t, *ln, hd).reshape(
+            b, n, h, hd)
+        with pltpu.force_tpu_interpret_mode():
+            got = fused_attention_heads(heads(q, lns[0]), heads(k, lns[1]),
+                                        heads(v, lns[2]), 0.5, 4,
+                                        residual).reshape(b, n, c)
+        want = pooled_attention_reference(q, k, v, lns[0], lns[1], lns[2],
+                                          h, 0.5, residual)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   rtol=2e-4, atol=2e-5,
+                                   err_msg=f"residual={residual}")
+
+
 def test_ln_groups_matches_flax_layernorm():
     """ln_groups_reference == nn.LayerNorm over the (b, n, h, hd) view —
     the exact semantics the MHST pool LN had before the kernel fold."""

@@ -359,13 +359,20 @@ pooled_heads_attention.defvjp(_pha_fwd, _pha_bwd)
 def pooled_heads_attention_auto(q, k, v, ln_q, ln_k, ln_v, h: int,
                                 scale: float, block_g: int = 32,
                                 residual: bool = True):
-    """Fused kernel behind VCT_POOLED_ATTN; reference composition else.
+    """Fused LN+attention+residual kernel behind VCT_POOLED_ATTN.
 
     Default OFF until `perf/pooled_kernel_check.py` passes on the real
     chip: the LN-fold variant has never compiled on hardware, and this
     kernel family produced remote-compiler failures during development
     (perf/mhst_attn_variants.py log). Flip the default to "1" only after
     the hardware gate passes.
+
+    The gated-off TPU path is NOT pure XLA: it composes the XLA hd-group
+    LNs with `fused_attention_heads(residual=...)`, which IS
+    Mosaic-verified at the MHST serving shape (6.0 ms vs 8.9 ms for the
+    XLA attention core, perf/mhst_attn_variants.py) — so MHST keeps the
+    verified kernel win whatever the pooled gate's outcome (VERDICT r3
+    #2/#3). Off-TPU it is the pure reference composition.
     """
     from ..utils.envflags import kernel_gate
 
@@ -373,6 +380,14 @@ def pooled_heads_attention_auto(q, k, v, ln_q, ln_k, ln_v, h: int,
         return pooled_heads_attention(q, k, v, ln_q[0], ln_q[1], ln_k[0],
                                       ln_k[1], ln_v[0], ln_v[1], h, scale,
                                       block_g, residual)
+    if jax.default_backend() == "tpu":
+        b, n, c = q.shape
+        hd = c // h
+        heads = lambda t, ln: ln_groups_reference(t, *ln, hd).reshape(
+            b, n, h, hd)
+        o = fused_attention_heads(heads(q, ln_q), heads(k, ln_k),
+                                  heads(v, ln_v), scale, block_g, residual)
+        return o.reshape(b, n, c)
     return pooled_attention_reference(q, k, v, ln_q, ln_k, ln_v, h, scale,
                                       residual)
 
