@@ -37,6 +37,40 @@ def log(*a):
     print(*a, file=sys.stderr, flush=True)
 
 
+def backend_or_die(timeout_s: int = 600):
+    """Fail fast, loudly, if the backend cannot initialize.
+
+    Through the tunneled TPU a dead backend makes the FIRST jax op hang
+    in PJRT client init (observed: jax.devices() hung 360 s during the
+    2026-08-17 outage) — without this guard the bench burns its whole
+    driver timeout producing no diagnostic. The probe runs in a daemon
+    thread (backend init is not interruptible); on timeout or error we
+    print a one-line diagnosis to stderr and exit 1 immediately.
+    timeout_s is generous because a healthy-but-queued tunnel can take
+    ~70 s for a trivial op after remote-compile hammering."""
+    import threading
+
+    result = {}
+
+    def probe():
+        try:
+            result["devices"] = [str(d) for d in jax.devices()]
+        except Exception as e:  # noqa: BLE001 — diagnostic path
+            result["error"] = repr(e)
+
+    t = threading.Thread(target=probe, daemon=True)
+    t.start()
+    t.join(timeout_s)
+    if "devices" in result:
+        log("backend ready:", result["devices"])
+        return
+    log("FATAL: jax backend init {} after {}s — TPU tunnel down? "
+        "(bench requires the real chip; no JSON emitted)".format(
+            "error " + result["error"] if "error" in result
+            else "still hung", timeout_s))
+    os._exit(1)
+
+
 def synthetic_scene():
     rng = np.random.RandomState(0)
     img1 = rng.rand(H, W, BANDS).astype(np.float32)
@@ -254,6 +288,7 @@ def measure_torch_baseline(img1, img2, budget_s=30.0):
 
 
 def main():
+    backend_or_die()
     img1, img2 = synthetic_scene()
     ours, cold_s, warm_fresh_s, warm_s, steady_s = measure_ours(img1, img2)
     train_ours = measure_train_ours(img1, img2)
