@@ -1,13 +1,27 @@
-"""Pooled-attention kernel: real-TPU compile + numerics + timing check.
+"""Attention-kernel hardware gates: compile + numerics + timing checks.
 
-Validates ops/attention.pooled_heads_attention (LN + 16-head attention +
-residual in one VMEM pass) against the unfused reference composition at
-the MHST serving shape, then times both. Run FIRST after any kernel
-edit — a Mosaic rejection here is cheaper to find than inside the full
-MHST program.
+Two independently-gated kernel families, checked in risk order:
+
+1. HEADS section (marker ``HEADS_CHECK_OK``): the masked-dots head-last
+   kernel at the ViTBackbone tiny-dim_head routing shapes —
+   (4096, 65, 4, 16) MHST en_transformer and (2048, 146, 4, 16)
+   SpectralFormer/S2EFT. Hardware-verified already at (4096, 65, 16, 4)
+   (perf/mhst_attn_variants.py, 6.0 ms); these shapes have only passed
+   interpret mode. Gates ``VCT_HEADS_ATTN`` (nn/transformer.py).
+2. POOLED section (marker ``POOLED_CHECK_OK``): the LN-fold pooled
+   attention kernel (ops/attention.pooled_heads_attention — LN + 16-head
+   attention + residual in one VMEM pass) vs the unfused reference at
+   the MHST serving shape. Never compiled on hardware; this kernel
+   family produced remote-compiler failures during development. Gates
+   ``VCT_POOLED_ATTN``.
+
+The heads section runs FIRST so a pooled Mosaic rejection cannot lose
+its result; exit is 0 only if EVERYTHING passes (the harvest chain's
+conservative gate), and the per-section markers let a log reader (or
+perf/post_harvest_r4.sh) flip the two env-flag defaults independently.
 
 Usage: JAX_COMPILATION_CACHE_DIR=~/.cache/vct_jax_cache \
-         timeout 1200 python perf/pooled_kernel_check.py
+         timeout 1800 python perf/pooled_kernel_check.py
 """
 import os
 import sys
@@ -21,7 +35,9 @@ import jax  # noqa: E402
 import jax.numpy as jnp  # noqa: E402
 import numpy as np  # noqa: E402
 
-from vit_cnn_tpu.ops.attention import (pooled_attention_reference,  # noqa: E402
+from vit_cnn_tpu.ops.attention import (attention_reference_heads,  # noqa: E402
+                                       fused_attention_heads,
+                                       pooled_attention_reference,
                                        pooled_heads_attention)
 
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 10)
@@ -45,6 +61,23 @@ def bench(fn, *args, n=20, label=""):
 
 
 keys = jax.random.split(jax.random.PRNGKey(0), 9)
+
+# ---- section 1: heads kernel at the ViTBackbone routing shapes ---------
+for label, (bb, n, h, hd) in (("en_transformer", (4096, 65, 4, 16)),
+                              ("spectralformer", (2048, 146, 4, 16))):
+    qh, kh, vh = (jax.random.normal(keys[i], (bb, n, h, hd), jnp.bfloat16)
+                  for i in range(3))
+    r = bench(lambda a, b, c: attention_reference_heads(a, b, c, hd ** -.5),
+              qh, kh, vh, label=f"{label} XLA einsum")
+    g = bench(lambda a, b, c: fused_attention_heads(a, b, c, hd ** -.5),
+              qh, kh, vh, label=f"{label} heads kernel")
+    e = float(jnp.max(jnp.abs(g.astype(jnp.float32)
+                              - r.astype(jnp.float32))))
+    print(f"{label}: max|diff| = {e:.2e}")
+    assert np.isfinite(e) and e < 0.1
+print("HEADS_CHECK_OK", flush=True)
+
+# ---- section 2: LN-fold pooled kernel at the MHST serving shape --------
 q, k, v = (jax.random.normal(keys[i], (B, N, C), jnp.bfloat16)
            for i in range(3))
 lns = [(1.0 + 0.1 * jax.random.normal(keys[3 + i], (HD,)),
@@ -60,23 +93,5 @@ err = float(jnp.max(jnp.abs(got.astype(jnp.float32)
                             - ref.astype(jnp.float32))))
 print(f"max|diff| = {err:.2e}")
 assert np.isfinite(err) and err < 0.1, "pooled kernel numerics off"
-
-# the plain heads kernel also serves every tiny-dim_head ViTBackbone
-# (nn/transformer.py routing): MHST en_transformer (65 tok) and
-# SpectralFormer/S2EFT (146 tok), all 4 heads of 16
-from vit_cnn_tpu.ops.attention import (attention_reference_heads,  # noqa: E402
-                                       fused_attention_heads)
-
-for label, (bb, n, h, hd) in (("en_transformer", (4096, 65, 4, 16)),
-                              ("spectralformer", (2048, 146, 4, 16))):
-    qh, kh, vh = (jax.random.normal(keys[i], (bb, n, h, hd), jnp.bfloat16)
-                  for i in range(3))
-    r = bench(lambda a, b, c: attention_reference_heads(a, b, c, hd ** -.5),
-              qh, kh, vh, label=f"{label} XLA einsum")
-    g = bench(lambda a, b, c: fused_attention_heads(a, b, c, hd ** -.5),
-              qh, kh, vh, label=f"{label} heads kernel")
-    e = float(jnp.max(jnp.abs(g.astype(jnp.float32)
-                              - r.astype(jnp.float32))))
-    print(f"{label}: max|diff| = {e:.2e}")
-    assert np.isfinite(e) and e < 0.1
+print("POOLED_CHECK_OK", flush=True)
 print("OK")

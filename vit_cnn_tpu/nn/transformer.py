@@ -18,6 +18,27 @@ import jax.numpy as jnp
 from ..ops.attention import fused_attention_auto, fused_attention_heads_auto
 
 
+def _heads_routing_enabled() -> bool:
+    """Gate the tiny-dim_head heads-kernel routing on TPU (VCT_HEADS_ATTN).
+
+    The masked-dots heads kernel is hardware-verified only at the MHST
+    pool shape (4096, 65, 16 heads, hd=4) — the ViTBackbone shapes this
+    routing targets ((b, 65, 4, 16) en_transformer, (b, 146, 4, 16)
+    SpectralFormer/S2EFT) have passed interpret mode but never compiled
+    on the real chip. Per the repo rule (no Mosaic kernel becomes a
+    default TPU path before its check script passes on hardware —
+    VERDICT r3 weak #1), the TPU default stays the round-2 G-folded
+    kernel until perf/pooled_kernel_check.py's heads section passes.
+    Off-TPU the routing is pure XLA reference math and stays on."""
+    import jax
+
+    from ..utils.envflags import kernel_gate
+
+    if jax.default_backend() != "tpu":
+        return True
+    return kernel_gate("VCT_HEADS_ATTN", "0")
+
+
 class ViTAttention(nn.Module):
     dim: int
     heads: int
@@ -32,7 +53,7 @@ class ViTAttention(nn.Module):
         q, k, v = jnp.split(qkv, 3, axis=-1)
 
         scale = self.dim_head ** -0.5
-        if self.dim_head < 32:
+        if self.dim_head < 32 and _heads_routing_enabled():
             # tiny heads (MHST en_transformer: 4 heads of 16): the
             # G-folded kernel's (block, n, dim_head) VMEM layout wastes
             # 7/8 of the lanes; the head-last kernel keeps all h*hd
