@@ -187,3 +187,26 @@ def test_gradients_flow():
     for g in grads:
         assert np.isfinite(np.asarray(g)).all()
         assert np.abs(np.asarray(g)).max() > 0
+
+def test_vit_attention_routing_branches_agree():
+    """ViTAttention's two routings — the tiny-heads branch and the
+    G-folded general branch — share one param tree and must produce the
+    same output, so flipping VCT_HEADS_ATTN can never change model
+    numerics (only kernel choice). Exercised by monkeypatching the gate
+    (off-TPU it always routes tiny-heads)."""
+    from vit_cnn_tpu.nn import transformer as tr
+
+    mod = tr.ViTAttention(dim=64, heads=4, dim_head=16)
+    x = jax.random.normal(jax.random.PRNGKey(9), (3, 65, 64))
+    variables = mod.init({"params": jax.random.PRNGKey(0)}, x)
+
+    orig = tr._heads_routing_enabled
+    try:
+        tr._heads_routing_enabled = lambda: True
+        on = mod.apply(variables, x)
+        tr._heads_routing_enabled = lambda: False
+        off = mod.apply(variables, x)
+    finally:
+        tr._heads_routing_enabled = orig
+    np.testing.assert_allclose(np.asarray(on), np.asarray(off),
+                               rtol=2e-5, atol=2e-6)
