@@ -48,3 +48,16 @@ def test_unverified_kernels_default_off():
     for fn in (ds._dcs_bwd, ds._ips_bwd):
         assert 'kernel_gate("VCT_DIRSTREAM_FUSED_BWD", "0")' in (
             inspect.getsource(fn))
+
+def test_heads_routing_defaults_off_on_tpu():
+    # the tiny-dim_head ViTAttention routing (SpectralFormer/S2EFT/MHST
+    # en_transformer shapes) is hardware-unverified too: its gate must
+    # default "0" on TPU while staying always-on off-TPU (pure XLA there)
+    import inspect
+
+    import vit_cnn_tpu.nn.transformer as tr
+
+    src = inspect.getsource(tr._heads_routing_enabled)
+    assert 'kernel_gate("VCT_HEADS_ATTN", "0")' in src
+    assert tr._heads_routing_enabled() is (jax.default_backend() != "tpu"
+                                           or False)
