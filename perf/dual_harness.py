@@ -54,16 +54,19 @@ CONFIGS = [
     # ref 57.3). 40x40 gives BOTH harnesses the same bigger val set
     # (~150 kept pixels), where best-val picks real checkpoints; the
     # protocol itself is unchanged and stays identical on both sides.
-    ("Cross_fusion_CNN", 30, 20, {"_hw": (40, 40), "_seeds": 3}),
+    # r4: the four noisiest/most-scrutinized rows carry 5-seed bands
+    # (VERDICT r3 weak #5 — 3 seeds left the bands widest exactly where
+    # the models train noisiest); the rest stay at 3.
+    ("Cross_fusion_CNN", 30, 20, {"_hw": (40, 40), "_seeds": 5}),
     ("S2ENet", 30, 20, {"_seeds": 3}),
     ("SpectralFormer", 30, 20, {}),
-    ("FusAtNet", 20, 20, {"_hw": (40, 40), "_seeds": 3}),
+    ("FusAtNet", 20, 20, {"_hw": (40, 40), "_seeds": 5}),
     ("MFT", 40, 20, {"_hw": (40, 40), "_seeds": 3}),
     # PCA-30 + transformer path; patch 11 leaves only (28-10)^2 interior
     # pixels on the default scene -> use 40x40 so both harnesses converge
-    ("HCTnet", 100, 40, {"_hw": (40, 40), "_seeds": 3}),
+    ("HCTnet", 100, 40, {"_hw": (40, 40), "_seeds": 5}),
     ("MHST", 30, 20, {"_hw": (40, 40), "_seeds": 3}),
-    ("Multimodality_Mamba", 20, 144, {"_seeds": 3}),  # ref flagship needs 144 bands
+    ("Multimodality_Mamba", 20, 144, {"_seeds": 5}),  # ref flagship needs 144 bands
     # S2EFT excluded: the reference model is unrunnable as wired
     # (missing F import + 2-arg call into mask, QUIRKS.md repair #1)
 ]
