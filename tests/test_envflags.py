@@ -49,15 +49,15 @@ def test_unverified_kernels_default_off():
         assert 'kernel_gate("VCT_DIRSTREAM_FUSED_BWD", "0")' in (
             inspect.getsource(fn))
 
-def test_heads_routing_defaults_off_on_tpu():
-    # the tiny-dim_head ViTAttention routing (SpectralFormer/S2EFT/MHST
-    # en_transformer shapes) is hardware-unverified too: its gate must
-    # default "0" on TPU while staying always-on off-TPU (pure XLA there)
+def test_heads_routing_defaults_on():
+    # the tiny-dim_head ViTAttention routing passed its hardware gate
+    # 2026-08-19 at both routing shapes (perf/logs/pooled_check_r4.log:
+    # en_transformer 3.05 ms, spectralformer 3.38 ms, HEADS_CHECK_OK),
+    # so its default is now "1"; VCT_HEADS_ATTN=0 still disables it
     import inspect
 
     import vit_cnn_tpu.nn.transformer as tr
 
     src = inspect.getsource(tr._heads_routing_enabled)
-    assert 'kernel_gate("VCT_HEADS_ATTN", "0")' in src
-    assert tr._heads_routing_enabled() is (jax.default_backend() != "tpu"
-                                           or False)
+    assert 'kernel_gate("VCT_HEADS_ATTN", "1")' in src
+    assert tr._heads_routing_enabled() is True

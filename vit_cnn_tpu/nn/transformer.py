@@ -21,22 +21,22 @@ from ..ops.attention import fused_attention_auto, fused_attention_heads_auto
 def _heads_routing_enabled() -> bool:
     """Gate the tiny-dim_head heads-kernel routing on TPU (VCT_HEADS_ATTN).
 
-    The masked-dots heads kernel is hardware-verified only at the MHST
-    pool shape (4096, 65, 16 heads, hd=4) — the ViTBackbone shapes this
-    routing targets ((b, 65, 4, 16) en_transformer, (b, 146, 4, 16)
-    SpectralFormer/S2EFT) have passed interpret mode but never compiled
-    on the real chip. Per the repo rule (no Mosaic kernel becomes a
-    default TPU path before its check script passes on hardware —
-    VERDICT r3 weak #1), the TPU default stays the round-2 G-folded
-    kernel until perf/pooled_kernel_check.py's heads section passes.
-    Off-TPU the routing is pure XLA reference math and stays on."""
+    Default ON: perf/pooled_kernel_check.py's heads section passed on
+    the real chip 2026-08-19 (perf/logs/pooled_check_r4.log) at BOTH
+    ViTBackbone routing shapes — (4096, 65, 4, 16) en_transformer
+    3.89 -> 3.05 ms and (2048, 146, 4, 16) SpectralFormer/S2EFT
+    5.71 -> 3.38 ms (the 146-token shape needed the n-aware batch block,
+    ops/attention._auto_heads_block_g, after a scoped-VMEM OOM at the
+    old fixed block_g=32). max|diff| 2.3e-2 / 1.6e-2 vs the XLA einsum
+    at bf16. Set VCT_HEADS_ATTN=0 to fall back to the round-2 G-folded
+    kernel. Off-TPU the routing is pure XLA reference math and stays on."""
     import jax
 
     from ..utils.envflags import kernel_gate
 
     if jax.default_backend() != "tpu":
         return True
-    return kernel_gate("VCT_HEADS_ATTN", "0")
+    return kernel_gate("VCT_HEADS_ATTN", "1")
 
 
 class ViTAttention(nn.Module):

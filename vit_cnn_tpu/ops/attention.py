@@ -145,9 +145,26 @@ def _make_heads_kernel(scale: float, h: int, hd: int, residual: bool):
     return kernel
 
 
-def _pallas_attention_heads(q, k, v, scale: float, block_g: int,
+def _auto_heads_block_g(n: int) -> int:
+    """Largest safe batch block for the heads kernel at sequence length n.
+
+    Scoped VMEM is dominated by the f32 (block_g, n, n) score/softmax
+    chain; hardware-measured: ~9 such live buffers (24.31M at
+    block_g=32, n=146 — the 2026-08-19 SpectralFormer-shape OOM against
+    the 16M scoped limit), while n=65 at block_g=32 compiles and is
+    hardware-verified fast. Budget ~11M, power-of-two, clamped [8, 32]."""
+    g = 11_000_000 // (36 * n * n)
+    p = 8
+    while p * 2 <= min(g, 32):
+        p *= 2
+    return p
+
+
+def _pallas_attention_heads(q, k, v, scale: float, block_g,
                             residual: bool = False):
     b, n, h, hd = q.shape
+    if block_g is None:
+        block_g = _auto_heads_block_g(n)
     fold = lambda t: t.reshape(b, n, h * hd)
     qf, kf, vf = fold(q), fold(k), fold(v)
     pad = (-b) % block_g
@@ -169,7 +186,7 @@ def _pallas_attention_heads(q, k, v, scale: float, block_g: int,
 
 
 @partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
-def fused_attention_heads(q, k, v, scale: float, block_g: int = 32,
+def fused_attention_heads(q, k, v, scale: float, block_g=None,
                           residual: bool = False):
     """Head-last multi-head attention with per-head scores kept in VMEM.
 
@@ -181,8 +198,12 @@ def fused_attention_heads(q, k, v, scale: float, block_g: int = 32,
     perf/mhst_attn_variants.py). This kernel loads a block of batch rows
     once, runs all heads' QK^T/softmax/PV (and optionally the MViT +q
     residual on non-CLS tokens) in VMEM, one HBM pass over q/k/v/o.
-    block_g>32 overflows VMEM at the MHST shape: Mosaic does not reuse
-    buffers across the unrolled head iterations."""
+    block_g=None picks the largest VMEM-safe batch block for the
+    sequence length (_auto_heads_block_g): 32 at the hardware-verified
+    65-token shapes, 8 at the 146-token SpectralFormer/S2EFT shape
+    whose f32 score chain OOMs scoped VMEM at 32 (and >32 overflows
+    even at 65 tokens: Mosaic does not reuse buffers across the
+    unrolled head iterations)."""
     return _pallas_attention_heads(q, k, v, scale, block_g, residual)
 
 
@@ -201,7 +222,7 @@ def _fah_bwd(scale, block_g, residual, res, g):
 fused_attention_heads.defvjp(_fah_fwd, _fah_bwd)
 
 
-def fused_attention_heads_auto(q, k, v, scale: float, block_g: int = 32,
+def fused_attention_heads_auto(q, k, v, scale: float, block_g=None,
                                residual: bool = False):
     """Pallas heads kernel on TPU; head-last reference formula elsewhere."""
     if jax.default_backend() == "tpu":
@@ -293,10 +314,27 @@ def _make_pooled_kernel(scale: float, h: int, hd: int, residual: bool,
     return kernel
 
 
+def _auto_pooled_block_g(n: int, h: int) -> int:
+    """VMEM-safe batch block for the LN-fold pooled kernel.
+
+    Hardware-measured scoped footprint: 30.65M at block_g=32, n=65,
+    h=16 (2026-08-19 AOT OOM vs the 16M limit) — the 16 unrolled head
+    iterations plus the three LN chains do not share buffers, so the
+    footprint scales ~ block_g * n^2 * h. Budget ~11M, power-of-two,
+    clamped [4, 32]."""
+    g = int(11e6 * 32 * 65 * 65 * 16 / (30.65e6 * n * n * h))
+    p = 4
+    while p * 2 <= min(g, 32):
+        p *= 2
+    return p
+
+
 def _pallas_pooled(q, k, v, gq, bq, gk, bk, gv, bv, h, scale, block_g,
                    residual):
     b, n, c = q.shape
     hd = c // h
+    if block_g is None:
+        block_g = _auto_pooled_block_g(n, h)
     pad = (-b) % block_g
     if pad:
         z = lambda x: jnp.concatenate(
@@ -326,7 +364,7 @@ def _pallas_pooled(q, k, v, gq, bq, gk, bk, gv, bv, h, scale, block_g,
 
 @partial(jax.custom_vjp, nondiff_argnums=(9, 10, 11, 12))
 def pooled_heads_attention(q, k, v, gq, bq, gk, bk, gv, bv, h: int,
-                           scale: float, block_g: int = 32,
+                           scale: float, block_g=None,
                            residual: bool = True):
     """Fused per-head-group LN + multi-head attention + MViT residual.
 
@@ -357,15 +395,19 @@ pooled_heads_attention.defvjp(_pha_fwd, _pha_bwd)
 
 
 def pooled_heads_attention_auto(q, k, v, ln_q, ln_k, ln_v, h: int,
-                                scale: float, block_g: int = 32,
+                                scale: float, block_g=None,
                                 residual: bool = True):
     """Fused LN+attention+residual kernel behind VCT_POOLED_ATTN.
 
-    Default OFF until `perf/pooled_kernel_check.py` passes on the real
-    chip: the LN-fold variant has never compiled on hardware, and this
-    kernel family produced remote-compiler failures during development
-    (perf/mhst_attn_variants.py log). Flip the default to "1" only after
-    the hardware gate passes.
+    Default OFF — **documented rejection** (2026-08-19 hardware gate,
+    perf/logs/pooled_check_r4c_blk8.log): at the VMEM-safe block_g=8
+    the kernel finally compiles on the real chip but (a) MISCOMPILES —
+    max|diff| 6.5e+1 vs the reference composition, despite exact
+    interpret-mode parity on CPU (Mosaic bug, likely in the broadcast
+    (1, c) LN-param blocks or the f32 (c, h)/(h, c) group-mean dots) —
+    and (b) at 13.4 ms is slower than the verified middle path below.
+    Do not flip this default without BOTH a numerics pass and a timing
+    win at the gate.
 
     The gated-off TPU path is NOT pure XLA: it composes the XLA hd-group
     LNs with `fused_attention_heads(residual=...)`, which IS
