@@ -279,9 +279,13 @@ def _dcs_fwd(u_lm, cw, cb, orders, rev_rows, block_b):
 
 def _dcs_bwd(orders, rev_rows, block_b, res, g):
     u_lm, cw, cb = res
-    # default OFF until the adjoint kernels are Mosaic-verified on the real
-    # chip (perf/pooled_kernel_check.py chain) — a compile failure here
-    # would take down the whole train step
+    # default OFF — perf rejection (2026-08-19 hardware gate,
+    # perf/logs/dirstream_check_r4_pass.log): after the partials-layout
+    # fix the fused adjoints compile AND match jax.vjp on the real chip
+    # (rel diffs <= 7e-3), but at the flagship shape they run 2.65 ms/grad
+    # vs 0.156 ms for XLA's own backward of the reference formulation —
+    # Mosaic's codegen for the concat-heavy permute adjoints is ~17x off
+    # XLA's fused transpose kernels, so the XLA vjp stands as the default
     if kernel_gate("VCT_DIRSTREAM_FUSED_BWD", "0"):
         # fused adjoint: one HBM pass (the XLA path re-runs the UNFUSED
         # permute->conv->SiLU forward and differentiates it — the very
@@ -387,9 +391,14 @@ def _inv_sum_adj_kernel(g_ref, yf_ref, yr_ref, wf_ref, wr_ref,
         pg = jnp.concatenate([g[t:t + 1] for t in orders[r]], axis=0)
         dyr_ref[j] = (wr[0, j] * pg).astype(dyr_ref.dtype)
         dwr.append(jnp.sum(pg * yr_ref[j].astype(jnp.float32)))
-    dwf_ref[...] = jnp.stack(dwf)[None]
+    # partials are (1, 1, n)-blocked: a 2-D (1, n) block has a
+    # second-to-last dim of 1 vs a grid-sized array dim, which the TPU
+    # lowering rejects (only the last TWO dims may differ from the array
+    # when tile-aligned); the extra unit dim puts the grid index in an
+    # unconstrained leading position (2026-08-19 hardware gate failure)
+    dwf_ref[...] = jnp.stack(dwf)[None, None]
     if rev_rows:
-        dwr_ref[...] = jnp.stack(dwr)[None]
+        dwr_ref[...] = jnp.stack(dwr)[None, None]
     else:
         dwr_ref[...] = jnp.zeros(dwr_ref.shape, dwr_ref.dtype)
 
@@ -416,7 +425,7 @@ def _inv_sum_adjoint(y_fwd, y_rev, w_fwd, w_rev, g, inv_orders, rev_rows,
                                   memory_space=pltpu.VMEM)
     fix = lambda s: pl.BlockSpec(s, lambda i: (0,) * len(s),
                                  memory_space=pltpu.VMEM)
-    part = lambda n: pl.BlockSpec((1, n), lambda i: (i, 0),
+    part = lambda n: pl.BlockSpec((1, 1, n), lambda i: (i, 0, 0),
                                   memory_space=pltpu.VMEM)
     dyf, dyr, dwf_p, dwr_p = pl.pallas_call(
         partial(_inv_sum_adj_kernel, orders=orders,
@@ -430,15 +439,16 @@ def _inv_sum_adjoint(y_fwd, y_rev, w_fwd, w_rev, g, inv_orders, rev_rows,
         out_shape=[jax.ShapeDtypeStruct((nb, L, d, bt), y_fwd.dtype),
                    jax.ShapeDtypeStruct((max(nr, 1), L, d, bt),
                                         y_fwd.dtype),
-                   jax.ShapeDtypeStruct((grid, nb), jnp.float32),
-                   jax.ShapeDtypeStruct((grid, max(nr, 1)), jnp.float32)],
+                   jax.ShapeDtypeStruct((grid, 1, nb), jnp.float32),
+                   jax.ShapeDtypeStruct((grid, 1, max(nr, 1)),
+                                        jnp.float32)],
     )(g_p, yf_p, yr_p, w_fwd.astype(jnp.float32)[None],
       (w_rev if nr else jnp.zeros((1,), jnp.float32)
        ).astype(jnp.float32)[None])
     dyf = dyf[..., :b]
     dyr = dyr[..., :b] if nr else jnp.zeros((0, L, d, b), y_fwd.dtype)
-    dwf = jnp.sum(dwf_p, axis=0).astype(w_fwd.dtype)
-    dwr = (jnp.sum(dwr_p, axis=0)[:nr].astype(w_rev.dtype) if nr
+    dwf = jnp.sum(dwf_p, axis=(0, 1)).astype(w_fwd.dtype)
+    dwr = (jnp.sum(dwr_p, axis=(0, 1))[:nr].astype(w_rev.dtype) if nr
            else jnp.zeros_like(w_rev))
     return dyf, dyr, dwf, dwr
 
@@ -451,9 +461,9 @@ def _ips_fwd(y_fwd, y_rev, w_fwd, w_rev, inv_orders, rev_rows, block_b):
 
 def _ips_bwd(inv_orders, rev_rows, block_b, res, g):
     y_fwd, y_rev, w_fwd, w_rev = res
-    # default OFF until the adjoint kernels are Mosaic-verified on the real
-    # chip (perf/pooled_kernel_check.py chain) — a compile failure here
-    # would take down the whole train step
+    # default OFF — perf rejection, same verdict as _dcs_bwd: hardware
+    # gate 2026-08-19 passes numerics (perf/logs/dirstream_check_r4_pass
+    # .log) but the fused adjoint pair loses 17x to XLA's vjp
     if kernel_gate("VCT_DIRSTREAM_FUSED_BWD", "0"):
         return _inv_sum_adjoint(y_fwd, y_rev, w_fwd, w_rev, g, inv_orders,
                                 rev_rows, block_b)
