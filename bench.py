@@ -19,6 +19,9 @@ import time
 
 import numpy as np
 
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+from vit_cnn_tpu.utils.envflags import bench_stamp  # noqa: E402
+
 # persistent compile cache: the flagship bf16 program takes ~10 min to
 # build through a remote-compile backend; cache it across bench runs
 os.makedirs(os.path.expanduser("~/.cache/vct_jax_cache"), exist_ok=True)
@@ -132,24 +135,60 @@ def measure_ours(img1, img2):
     # warm, RESIDENT scene: same host arrays -> cached device upload; one
     # program over all bands + the (H, W, K) result download. This is the
     # serving steady state (the reference's own loop re-tests the same
-    # scene N_RUNS times, ref: main.py:377,500)
-    t0 = time.time()
-    probs = full_scene()
-    warm = time.time() - t0
+    # scene N_RUNS times, ref: main.py:377,500). Median of 3: the same
+    # code measured 46.5k and 53.4k two hours apart in round 4 (±13%
+    # single-shot spread, VERDICT r4 #5) — quote the median, carry the
+    # band in the JSON.
+    reps = int(os.environ.get("VCT_BENCH_REPS", "3"))
+    warms = []
+    for _ in range(reps):
+        t0 = time.time()
+        probs = full_scene()
+        warms.append(time.time() - t0)
+    warm = float(np.median(warms))
     rate = n_windows / warm
     # steady state: the same resident scene program with the result kept
     # ON DEVICE, fenced by a 1-float fetch — what a consumer that chains
     # on-device work pays per scene. warm - steady = map assembly + the
     # ~40 MB result download (VERDICT r3 #8: both headlines, one JSON)
-    t0 = time.time()
-    pd = full_scene_probabilities(module, variables, img1, img2, hp,
-                                  chunk=rows * wc, out="device")
-    _ = float(pd[0, 0, 0])               # host transfer = completion fence
-    steady = time.time() - t0
+    steadies = []
+    for _ in range(reps):
+        t0 = time.time()
+        pd = full_scene_probabilities(module, variables, img1, img2, hp,
+                                      chunk=rows * wc, out="device")
+        _ = float(pd[0, 0, 0])           # host transfer = completion fence
+        steadies.append(time.time() - t0)
+    steady = float(np.median(steadies))
     log("ours: {:.0f} patches/sec/chip | full scene cold {:.1f}s "
-        "warm fresh-scene {:.2f}s resident {:.2f}s steady(device-out) "
-        "{:.2f}s".format(rate, cold, warm_fresh, warm, steady))
-    return rate, cold, warm_fresh, warm, steady
+        "warm fresh-scene {:.2f}s resident med {:.2f}s {} steady(device-out)"
+        " med {:.2f}s {}".format(
+            rate, cold, warm_fresh, warm,
+            "[" + ",".join(f"{t:.2f}" for t in warms) + "]", steady,
+            "[" + ",".join(f"{t:.2f}" for t in steadies) + "]"))
+    flops = flagship_flops_per_patch(module, variables)
+    return rate, cold, warm_fresh, warm, steady, warms, steadies, flops
+
+
+def flagship_flops_per_patch(module, variables):
+    """FLOPs per patch of the bf16 serving forward via XLA cost analysis
+    (the TPU-native thop, ref: Mutimodality_Mamba7.py:1198-1199); None if
+    the backend does not expose cost analysis."""
+    import jax
+    import jax.numpy as jnp
+
+    try:
+        b = 256
+        d1 = jnp.zeros((b, PATCH, PATCH, BANDS), jnp.bfloat16)
+        d2 = jnp.zeros((b, PATCH, PATCH, 1), jnp.bfloat16)
+        fwd = jax.jit(lambda v, a, c: module.apply(v, a, c, train=False))
+        cost = fwd.lower(variables, d1, d2).compile().cost_analysis()
+        if isinstance(cost, list):
+            cost = cost[0]
+        flops = float(cost.get("flops", 0.0)) / b
+        return flops or None
+    except Exception as e:  # noqa: BLE001 — diagnostic-only path
+        log("cost analysis unavailable:", repr(e)[:200])
+        return None
 
 
 def measure_train_ours(img1, img2, batch_size=1024, budget_s=6.0):
@@ -290,7 +329,8 @@ def measure_torch_baseline(img1, img2, budget_s=30.0):
 def main():
     backend_or_die()
     img1, img2 = synthetic_scene()
-    ours, cold_s, warm_fresh_s, warm_s, steady_s = measure_ours(img1, img2)
+    (ours, cold_s, warm_fresh_s, warm_s, steady_s, warms, steadies,
+     flops_patch) = measure_ours(img1, img2)
     train_ours = measure_train_ours(img1, img2)
     base = measure_torch_baseline(img1, img2)
 
@@ -332,6 +372,21 @@ def main():
             "steady_state_patches_per_sec_chip":
                 round((H - PATCH + 1) * (W - PATCH + 1) / steady_s, 1),
             "result_download_assembly_s": round(warm_s - steady_s, 2),
+            # single-shot spread was ±13% in r4 (VERDICT r4 #5): the
+            # headline quotes the median; min/max bound the band
+            "resident_s_min_med_max": [round(min(warms), 2), round(warm_s, 2),
+                                       round(max(warms), 2)],
+            "steady_s_min_med_max": [round(min(steadies), 2),
+                                     round(steady_s, 2),
+                                     round(max(steadies), 2)],
+            # chip-relative utilization (stretch, VERDICT r4 #7): the
+            # flagship is VPU-bound (selective scan), so MFU vs the
+            # 197 TFLOP/s v5e bf16 MXU peak is a floor, not the target
+            "flops_per_patch": round(flops_patch, 0) if flops_patch
+            else None,
+            "mfu_vs_v5e_bf16_peak": round(
+                ours * flops_patch / 197e12, 4) if flops_patch else None,
+            "stamp": bench_stamp(),
         },
     }))
 

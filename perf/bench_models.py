@@ -154,8 +154,15 @@ def measure_train(name, img1, img2, batch_size=1024, budget_s=6.0):
 
 
 def main():
+    from vit_cnn_tpu.utils.envflags import bench_stamp, stamp_str
+
     names = sys.argv[1:] or ALL
     phase = os.environ.get("VCT_BENCH_PHASE", "both")
+    # code-epoch stamp: paste the comment line with the table into
+    # perf/ROOFLINE.md — tests/test_benchstamp.py enforces freshness
+    stamp = stamp_str(bench_stamp())
+    print(f"<!-- bench-stamp: table=models {stamp} -->", flush=True)
+    log("bench-stamp:", stamp)
     rng = np.random.RandomState(0)
     img1 = rng.rand(H, W, BANDS).astype(np.float32)
     img2 = rng.rand(H, W, 1).astype(np.float32)

@@ -54,6 +54,11 @@ def main():
     from vit_cnn_tpu.nn.precision import cast_floating
     from vit_cnn_tpu.pipeline.patches import AugmentConfig, PatchPipeline
     from vit_cnn_tpu.train.loop import Trainer
+    from vit_cnn_tpu.utils.envflags import bench_stamp, stamp_str
+
+    # self-describing A/B logs: VCT_DIRSTREAM_FUSED_BWD=1 vs 0 is the
+    # decisive in-step backward experiment (VERDICT r4 #2)
+    print("bench-stamp:", stamp_str(bench_stamp()), flush=True)
 
     rng = np.random.RandomState(0)
     img1 = rng.rand(H, W, BANDS).astype(np.float32)

@@ -83,6 +83,29 @@ def test_heads_kernel_vitbackbone_shapes_interpret():
                                    rtol=2e-4, atol=2e-5, err_msg=f"n={n}")
 
 
+def test_auto_heads_block_g_doomed_seq_falls_back():
+    """When even block_g=8 exceeds the scoped-VMEM budget (n >= ~196),
+    _auto_heads_block_g must signal fallback (None) instead of handing
+    Mosaic a doomed compile, and fused_attention_heads must refuse the
+    auto path with a clear error (ADVICE r4)."""
+    import pytest
+
+    from vit_cnn_tpu.ops.attention import _auto_heads_block_g
+
+    assert _auto_heads_block_g(65) == 32
+    assert _auto_heads_block_g(146) == 8
+    assert _auto_heads_block_g(196) is None
+    assert _auto_heads_block_g(512) is None
+
+    q, k, v = _qkv_heads(jax.random.PRNGKey(9), b=2, n=196, h=4, hd=16)
+    with pytest.raises(ValueError, match="no VMEM-safe block"):
+        fused_attention_heads(q, k, v, 0.25)
+    # the routing wrapper silently takes the reference formula instead
+    got = fused_attention_heads_auto(q, k, v, 0.25)
+    want = attention_reference_heads(q, k, v, 0.25)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=1e-5)
+
+
 def test_heads_auto_reference_path_and_gradients():
     q, k, v = _qkv_heads(jax.random.PRNGKey(4))
     got = fused_attention_heads_auto(q, k, v, 0.5)   # CPU -> reference path

@@ -35,9 +35,12 @@ def test_unset_and_empty_use_default(monkeypatch):
 
 
 def test_unverified_kernels_default_off():
-    # the pooled-attention kernel and the dirstream adjoints must not run
-    # unless explicitly enabled: their hardware gate
-    # (perf/pooled_kernel_check.py) has not passed on the real chip
+    # these gates stay "0" as DOCUMENTED REJECTIONS, not pending checks:
+    # the pooled LN-fold kernel compiles on hardware but miscompiles
+    # (max|diff| 6.5e+1 vs interpret parity, perf/logs/pooled_check_r4.log
+    # — see the rejection note in ops/attention.py), and the fused
+    # dirstream adjoints pass numerics on the chip but lose to XLA's vjp
+    # (rejection reason at ops/dirstream.py gate sites)
     import vit_cnn_tpu.ops.attention as att
     import inspect
 

@@ -145,15 +145,23 @@ def _make_heads_kernel(scale: float, h: int, hd: int, residual: bool):
     return kernel
 
 
-def _auto_heads_block_g(n: int) -> int:
-    """Largest safe batch block for the heads kernel at sequence length n.
+def _auto_heads_block_g(n: int):
+    """Largest safe batch block for the heads kernel at sequence length n,
+    or None when no block fits and the caller must fall back to the XLA
+    reference formula.
 
     Scoped VMEM is dominated by the f32 (block_g, n, n) score/softmax
-    chain; hardware-measured: ~9 such live buffers (24.31M at
-    block_g=32, n=146 — the 2026-08-19 SpectralFormer-shape OOM against
-    the 16M scoped limit), while n=65 at block_g=32 compiles and is
-    hardware-verified fast. Budget ~11M, power-of-two, clamped [8, 32]."""
+    chain, modeled as ~9 such live buffers (36*g*n*n bytes). Calibration:
+    block_g=32 at n=146 OOM'd scoped VMEM on the chip 2026-08-19
+    (perf/logs/pooled_check_r4_oom_block32.log — the remote-compile HTTP
+    500 preserved there does not echo the VMEM figure, so the exact
+    overshoot is observed-not-preserved), while n=65 at block_g=32
+    compiles and is hardware-verified fast. Budget ~11M, power-of-two,
+    clamped to [8, 32]; when even block_g=8 exceeds the budget
+    (n >= ~196) return None rather than hand Mosaic a doomed compile."""
     g = 11_000_000 // (36 * n * n)
+    if g < 8:
+        return None
     p = 8
     while p * 2 <= min(g, 32):
         p *= 2
@@ -165,6 +173,12 @@ def _pallas_attention_heads(q, k, v, scale: float, block_g,
     b, n, h, hd = q.shape
     if block_g is None:
         block_g = _auto_heads_block_g(n)
+        if block_g is None:
+            raise ValueError(
+                f"fused_attention_heads: no VMEM-safe block at n={n} "
+                "(36*8*n*n exceeds the ~11M scoped budget) — use "
+                "attention_reference_heads, or pass block_g explicitly "
+                "to override")
     fold = lambda t: t.reshape(b, n, h * hd)
     qf, kf, vf = fold(q), fold(k), fold(v)
     pad = (-b) % block_g
@@ -224,9 +238,13 @@ fused_attention_heads.defvjp(_fah_fwd, _fah_bwd)
 
 def fused_attention_heads_auto(q, k, v, scale: float, block_g=None,
                                residual: bool = False):
-    """Pallas heads kernel on TPU; head-last reference formula elsewhere."""
+    """Pallas heads kernel on TPU; head-last reference formula elsewhere
+    (including on TPU when no VMEM-safe block exists for this seq len)."""
     if jax.default_backend() == "tpu":
-        return fused_attention_heads(q, k, v, scale, block_g, residual)
+        bg = block_g if block_g is not None else _auto_heads_block_g(
+            q.shape[1])
+        if bg is not None:
+            return fused_attention_heads(q, k, v, scale, bg, residual)
     return attention_reference_heads(q, k, v, scale, residual)
 
 
