@@ -106,6 +106,32 @@ def test_auto_heads_block_g_doomed_seq_falls_back():
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=1e-5)
 
 
+def test_ln_groups_matmul_matches_reference():
+    """Reshape-free matmul-stat group LN == ln_groups_reference. bf16
+    inputs: the group MEAN is exact by construction (bf16 x 1/hd products
+    with f32 accumulation); the centered variance rounds d*d once through
+    bf16 — assert well inside bf16 forward noise. f32 inputs compared at
+    matmul-decomposition tolerance."""
+    from vit_cnn_tpu.ops.attention import (ln_groups_matmul,
+                                           ln_groups_reference)
+
+    key = jax.random.PRNGKey(11)
+    x = jax.random.normal(key, (6, 13, 64)) * 2.0 + 1.5
+    gamma = jax.random.normal(jax.random.PRNGKey(1), (4,))
+    beta = jax.random.normal(jax.random.PRNGKey(2), (4,))
+
+    want = ln_groups_reference(x.astype(jnp.bfloat16), gamma, beta, 4)
+    got = ln_groups_matmul(x.astype(jnp.bfloat16), gamma, beta, 4)
+    np.testing.assert_allclose(
+        np.asarray(got, np.float32), np.asarray(want, np.float32),
+        rtol=0.04, atol=0.04)
+
+    want32 = ln_groups_reference(x, gamma, beta, 4)
+    got32 = ln_groups_matmul(x, gamma, beta, 4)
+    np.testing.assert_allclose(np.asarray(got32), np.asarray(want32),
+                               rtol=2e-2, atol=2e-2)
+
+
 def test_heads_auto_reference_path_and_gradients():
     q, k, v = _qkv_heads(jax.random.PRNGKey(4))
     got = fused_attention_heads_auto(q, k, v, 0.5)   # CPU -> reference path

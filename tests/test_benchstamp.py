@@ -23,6 +23,7 @@ CALL_SITES = {
     "VCT_HEADS_ATTN": "vit_cnn_tpu/nn/transformer.py",
     "VCT_POOLED_ATTN": "vit_cnn_tpu/ops/attention.py",
     "VCT_DIRSTREAM_FUSED_BWD": "vit_cnn_tpu/ops/dirstream.py",
+    "VCT_LN_GROUPS_MM": "vit_cnn_tpu/ops/attention.py",
 }
 
 

@@ -263,6 +263,37 @@ def ln_groups_reference(x, gamma, beta, hd: int, eps: float = 1e-5):
     return y.reshape(b, n, c).astype(x.dtype)
 
 
+def ln_groups_matmul(x, gamma, beta, hd: int, eps: float = 1e-5):
+    """Reshape-free hd-group LayerNorm: group stats via one block-diagonal
+    averaging matmul on the MXU (pure XLA, no Mosaic).
+
+    ln_groups_reference's (b, n, c//hd, hd) reshape splits the lane axis —
+    a relayout XLA cannot fuse, ~2 ms per module at the MHST serving
+    shape. Here mean = x @ M with M[i, j] = 1/hd iff lanes i, j share a
+    group: for bf16 x the products are EXACT in the MXU (bf16 * 0.25 with
+    f32 accumulation), so the group mean equals the reference's f32 mean
+    of the same bf16 values bit-for-bit. Variance uses the centered form
+    E[(x-mu)^2] (no E[x^2]-mu^2 cancellation); d*d rounds once through
+    bf16, a ~0.5% relative error on var — below bf16 forward noise. Only
+    used for bf16 inputs (the serving dtype); callers keep the reference
+    for f32 parity paths."""
+    b, n, c = x.shape
+    lane = jnp.arange(c)
+    same = (lane[:, None] // hd) == (lane[None, :] // hd)
+    m = same.astype(x.dtype) / hd
+    dot = lambda a: jax.lax.dot_general(
+        a, m, (((2,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    mu = dot(x)
+    d = x.astype(jnp.float32) - mu
+    var = jnp.maximum(dot(d.astype(x.dtype) * d.astype(x.dtype)), 0.0)
+    h = c // hd
+    g = jnp.tile(gamma.astype(jnp.float32), h)
+    bta = jnp.tile(beta.astype(jnp.float32), h)
+    y = d * jax.lax.rsqrt(var + eps) * g + bta
+    return y.astype(x.dtype)
+
+
 def pooled_attention_reference(q, k, v, ln_q, ln_k, ln_v, h: int,
                                scale: float, residual: bool = True):
     """Unfused composition: per-head-group LN on q/k/v, then head-last
@@ -443,8 +474,18 @@ def pooled_heads_attention_auto(q, k, v, ln_q, ln_k, ln_v, h: int,
     if jax.default_backend() == "tpu":
         b, n, c = q.shape
         hd = c // h
-        heads = lambda t, ln: ln_groups_reference(t, *ln, hd).reshape(
-            b, n, h, hd)
+        # matmul-stat LN (reshape-free, bf16 serving dtype only): pure
+        # XLA, perf gate. Default OFF — measured REJECTION (2026-08-19,
+        # perf/ln_groups_probe.py on the chip): standalone 3.10->2.99 ms
+        # but in the full middle path only 12.34->12.26 ms (0.7%, inside
+        # run noise) — XLA already overlaps the reshape-LN chains with
+        # the attention kernel's HBM traffic, so the standalone win
+        # doesn't survive context. Kept for documentation + the probe.
+        ln_fn = (ln_groups_matmul
+                 if q.dtype == jnp.bfloat16
+                 and kernel_gate("VCT_LN_GROUPS_MM", "0")
+                 else ln_groups_reference)
+        heads = lambda t, ln: ln_fn(t, *ln, hd).reshape(b, n, h, hd)
         o = fused_attention_heads(heads(q, ln_q), heads(k, ln_k),
                                   heads(v, ln_v), scale, block_g, residual)
         return o.reshape(b, n, c)

@@ -33,6 +33,8 @@ GATE_DEFAULTS = {
     "VCT_POOLED_ATTN": "0",           # ops/attention.py (Mosaic miscompile
     #                                   rejection, perf/logs/pooled_check_r4.log)
     "VCT_DIRSTREAM_FUSED_BWD": "0",   # ops/dirstream.py (perf rejection)
+    "VCT_LN_GROUPS_MM": "0",          # ops/attention.py (pure-XLA matmul-stat
+    #                                   group LN; perf gate, r5)
 }
 
 
