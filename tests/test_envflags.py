@@ -35,21 +35,29 @@ def test_unset_and_empty_use_default(monkeypatch):
 
 
 def test_unverified_kernels_default_off():
-    # these gates stay "0" as DOCUMENTED REJECTIONS, not pending checks:
-    # the pooled LN-fold kernel compiles on hardware but miscompiles
-    # (max|diff| 6.5e+1 vs interpret parity, perf/logs/pooled_check_r4.log
-    # — see the rejection note in ops/attention.py), and the fused
-    # dirstream adjoints pass numerics on the chip but lose to XLA's vjp
-    # (rejection reason at ops/dirstream.py gate sites)
+    # VCT_POOLED_ATTN stays "0" as a DOCUMENTED REJECTION, not a pending
+    # check: the pooled LN-fold kernel compiles on hardware but
+    # miscompiles (max|diff| 6.5e+1 vs interpret parity,
+    # perf/logs/pooled_check_r4.log — see ops/attention.py)
     import vit_cnn_tpu.ops.attention as att
     import inspect
 
     src = inspect.getsource(att.pooled_heads_attention_auto)
     assert 'kernel_gate("VCT_POOLED_ATTN", "0")' in src
+
+
+def test_dirstream_adjoints_default_on():
+    # flipped "0" -> "1" in round 5: numerics hardware-verified in r4
+    # (perf/logs/dirstream_check_r4_pass.log) and the DECISIVE in-step
+    # A/B won — train 18,170 -> 19,749 patches/s/chip
+    # (perf/logs/train_ab_r5.log); the r4 OFF default rested on a
+    # 2-direction scan-free stand-in that did not transfer
+    import inspect
+
     import vit_cnn_tpu.ops.dirstream as ds
 
     for fn in (ds._dcs_bwd, ds._ips_bwd):
-        assert 'kernel_gate("VCT_DIRSTREAM_FUSED_BWD", "0")' in (
+        assert 'kernel_gate("VCT_DIRSTREAM_FUSED_BWD", "1")' in (
             inspect.getsource(fn))
 
 def test_heads_routing_defaults_on():

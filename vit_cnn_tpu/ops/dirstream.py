@@ -279,14 +279,17 @@ def _dcs_fwd(u_lm, cw, cb, orders, rev_rows, block_b):
 
 def _dcs_bwd(orders, rev_rows, block_b, res, g):
     u_lm, cw, cb = res
-    # default OFF — perf rejection (2026-08-19 hardware gate,
-    # perf/logs/dirstream_check_r4_pass.log): after the partials-layout
-    # fix the fused adjoints compile AND match jax.vjp on the real chip
-    # (rel diffs <= 7e-3), but at the flagship shape they run 2.65 ms/grad
-    # vs 0.156 ms for XLA's own backward of the reference formulation —
-    # Mosaic's codegen for the concat-heavy permute adjoints is ~17x off
-    # XLA's fused transpose kernels, so the XLA vjp stands as the default
-    if kernel_gate("VCT_DIRSTREAM_FUSED_BWD", "0"):
+    # default ON since 2026-08-19 (round 5): the DECISIVE experiment is
+    # the in-step A/B, not the round-4 standalone microbench. Numerics
+    # passed on the real chip in round 4 (rel diffs <= 7e-3,
+    # perf/logs/dirstream_check_r4_pass.log); the standalone 2.65 ms/grad
+    # vs 0.156 ms reading that justified the old OFF default came from a
+    # 2-direction scan-free stand-in and did NOT transfer to the real
+    # train step, where XLA's vjp must re-run the full unfused
+    # 10-stream forward: profile_train A/B (perf/logs/train_ab_r5.log)
+    # measured backward 37.63 -> 31.21 ms and train throughput
+    # 18,170 -> 19,749 patches/s/chip with the fused adjoints.
+    if kernel_gate("VCT_DIRSTREAM_FUSED_BWD", "1"):
         # fused adjoint: one HBM pass (the XLA path re-runs the UNFUSED
         # permute->conv->SiLU forward and differentiates it — the very
         # traffic the fused forward eliminated; see ROOFLINE round-3
@@ -461,10 +464,13 @@ def _ips_fwd(y_fwd, y_rev, w_fwd, w_rev, inv_orders, rev_rows, block_b):
 
 def _ips_bwd(inv_orders, rev_rows, block_b, res, g):
     y_fwd, y_rev, w_fwd, w_rev = res
-    # default OFF — perf rejection, same verdict as _dcs_bwd: hardware
-    # gate 2026-08-19 passes numerics (perf/logs/dirstream_check_r4_pass
-    # .log) but the fused adjoint pair loses 17x to XLA's vjp
-    if kernel_gate("VCT_DIRSTREAM_FUSED_BWD", "0"):
+    # default ON since 2026-08-19 (round 5) — same in-step A/B verdict as
+    # _dcs_bwd: numerics hardware-verified in round 4
+    # (perf/logs/dirstream_check_r4_pass.log), and the real train step
+    # runs 18,170 -> 19,749 patches/s with the fused adjoint pair
+    # (perf/logs/train_ab_r5.log; the old 17x standalone loss was an
+    # artifact of the reduced stand-in)
+    if kernel_gate("VCT_DIRSTREAM_FUSED_BWD", "1"):
         return _inv_sum_adjoint(y_fwd, y_rev, w_fwd, w_rev, g, inv_orders,
                                 rev_rows, block_b)
     _, vjp = jax.vjp(

@@ -32,7 +32,8 @@ GATE_DEFAULTS = {
     "VCT_HEADS_ATTN": "1",            # nn/transformer.py (verified r4)
     "VCT_POOLED_ATTN": "0",           # ops/attention.py (Mosaic miscompile
     #                                   rejection, perf/logs/pooled_check_r4.log)
-    "VCT_DIRSTREAM_FUSED_BWD": "0",   # ops/dirstream.py (perf rejection)
+    "VCT_DIRSTREAM_FUSED_BWD": "1",   # ops/dirstream.py (in-step A/B win
+    #                                   r5: train 18,170 -> 19,749 p/s)
     "VCT_LN_GROUPS_MM": "0",          # ops/attention.py (pure-XLA matmul-stat
     #                                   group LN; perf gate, r5)
 }
