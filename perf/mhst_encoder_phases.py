@@ -44,10 +44,10 @@ def staged(upto):
     bs = v.get("batch_stats", {})
 
     def bn(name, x):
-        sc = params[name]["scale"].astype(jnp.bfloat16)
-        bi = params[name]["bias"].astype(jnp.bfloat16)
-        mu = bs[name]["mean"].astype(jnp.bfloat16)
-        var = bs[name]["var"].astype(jnp.bfloat16)
+        sc = params[name]["bn"]["scale"].astype(jnp.bfloat16)
+        bi = params[name]["bn"]["bias"].astype(jnp.bfloat16)
+        mu = bs[name]["bn"]["mean"].astype(jnp.bfloat16)
+        var = bs[name]["bn"]["var"].astype(jnp.bfloat16)
         return (x - mu) * jax.lax.rsqrt(var + 1e-5) * sc + bi
 
     def conv3d(name, x, strides=(1, 1, 1), padding=None, k=None):
@@ -86,7 +86,7 @@ def staged(upto):
         from vit_cnn_tpu.nn.pyconv import PyConv
 
         pc = PyConv(64, (3, 5, 7, 9), (4, 4, 4, 4), (1, 2, 4, 8))
-        y = pc.apply({"params": params["conv4"]}, x)
+        y = pc.apply({"params": params["conv4"]}, x).astype(jnp.bfloat16)
         if upto == "pyconv":
             return y
         y = jax.nn.relu(bn("bn4", y))
