@@ -191,7 +191,7 @@ def flagship_flops_per_patch(module, variables):
         return None
 
 
-def measure_train_ours(img1, img2, batch_size=1024, budget_s=6.0):
+def measure_train_ours(img1, img2, batch_size=None, budget_s=6.0):
     """Training throughput (patches/s/chip) of the flagship: gather +
     augment + fwd/bwd + AdamW update as ONE jitted program per batch
     (the reference's other hot loop, ref: model_utils.py:854-1045).
@@ -206,6 +206,8 @@ def measure_train_ours(img1, img2, batch_size=1024, budget_s=6.0):
     from vit_cnn_tpu.pipeline.patches import AugmentConfig, PatchPipeline
     from vit_cnn_tpu.train.loop import Trainer
 
+    if batch_size is None:
+        batch_size = int(os.environ.get("VCT_TRAIN_BATCH", "1024"))
     rng = np.random.RandomState(0)
     gt = rng.randint(1, CLASSES, size=(H, W)).astype(np.int32)
     module, _, hp = get_model(

@@ -43,9 +43,9 @@ CONFIGS = [
     # remain only where both sides sit at 100.00 (EndNet, SpectralFormer)
     # and a band adds nothing (VERDICT r2 #4, r3 weak #5).
     ("EndNet", 15, 20, {}),
-    ("Early_fusion_CNN", 30, 20, {"_seeds": 3}),
-    ("Middle_fusion_CNN", 30, 20, {"_seeds": 3}),
-    ("Late_fusion_CNN", 30, 20, {"_seeds": 3}),
+    ("Early_fusion_CNN", 30, 20, {"_seeds": 5}),
+    ("Middle_fusion_CNN", 30, 20, {"_seeds": 5}),
+    ("Late_fusion_CNN", 30, 20, {"_seeds": 5}),
     # Cross_fusion trains noisily, and on the 28x28 scene OUR harness is
     # systematically derailed by the best-val trap (val() skips
     # ignored-label predictions; an early class-0-collapsed checkpoint
@@ -54,18 +54,18 @@ CONFIGS = [
     # ref 57.3). 40x40 gives BOTH harnesses the same bigger val set
     # (~150 kept pixels), where best-val picks real checkpoints; the
     # protocol itself is unchanged and stays identical on both sides.
-    # r4: the four noisiest/most-scrutinized rows carry 5-seed bands
-    # (VERDICT r3 weak #5 — 3 seeds left the bands widest exactly where
-    # the models train noisiest); the rest stay at 3.
+    # r4 widened the four noisiest rows to 5 seeds; r5 widened every
+    # remaining stochastic row to 5 (VERDICT r4 #6) — single-seed rows
+    # remain only where both sides sit at exactly 100.00.
     ("Cross_fusion_CNN", 30, 20, {"_hw": (40, 40), "_seeds": 5}),
-    ("S2ENet", 30, 20, {"_seeds": 3}),
+    ("S2ENet", 30, 20, {"_seeds": 5}),
     ("SpectralFormer", 30, 20, {}),
     ("FusAtNet", 20, 20, {"_hw": (40, 40), "_seeds": 5}),
-    ("MFT", 40, 20, {"_hw": (40, 40), "_seeds": 3}),
+    ("MFT", 40, 20, {"_hw": (40, 40), "_seeds": 5}),
     # PCA-30 + transformer path; patch 11 leaves only (28-10)^2 interior
     # pixels on the default scene -> use 40x40 so both harnesses converge
     ("HCTnet", 100, 40, {"_hw": (40, 40), "_seeds": 5}),
-    ("MHST", 30, 20, {"_hw": (40, 40), "_seeds": 3}),
+    ("MHST", 30, 20, {"_hw": (40, 40), "_seeds": 5}),
     ("Multimodality_Mamba", 20, 144, {"_seeds": 5}),  # ref flagship needs 144 bands
     # S2EFT excluded: the reference model is unrunnable as wired
     # (missing F import + 2-arg call into mask, QUIRKS.md repair #1)
