@@ -331,7 +331,8 @@ class MultiDirMambaLayer(nn.Module):
         # the generic batch-major formulation).
         # default ON: the lane-major fused forward is hardware-verified
         # (round 2/3); the adjoints are separately gated by
-        # VCT_DIRSTREAM_FUSED_BWD (default OFF) — see utils/envflags.py
+        # VCT_DIRSTREAM_FUSED_BWD (default ON since round 5's in-step
+        # A/B win) — see utils/envflags.py
         lane = (self.use_pallas and spec.combine != "dynamic"
                 and spec.n_shuffle == 0
                 and u.dtype == jnp.bfloat16
