@@ -200,3 +200,56 @@ def test_mhst_forward_parity():
         jnp.asarray(x1.transpose(0, 2, 3, 1)),
         jnp.asarray(x2.transpose(0, 2, 3, 1)), train=False))
     np.testing.assert_allclose(got, want, rtol=2e-3, atol=2e-3)
+
+
+def test_pool_attention_eval_qkv_masks_redundant():
+    """Serving-path optimization (round 5): at eval, _PoolAttention skips
+    the q/k/v head-width masks because `out * width_select` zeroes the
+    same lanes — every op in between is per-head-isolated. Pin EXACT
+    equality between the module (masks skipped) and the literal old
+    composition (masks applied at q/k/v), on a nontrivial mask."""
+    import jax
+    import jax.numpy as jnp
+
+    from vit_cnn_tpu.models.mhst import _PoolAttention
+    from vit_cnn_tpu.ops.attention import pooled_attention_reference
+
+    B, N, H, HD, P = 3, 65, 16, 4, 8
+    C = H * HD
+    key = jax.random.PRNGKey(0)
+    x = jax.random.normal(key, (B, N, C))
+    # zero out heads 1, 5, 13 for sample 0; 0 and 15 for sample 2
+    sel = np.ones((B, H), np.float32)
+    sel[0, [1, 5, 13]] = 0.0
+    sel[2, [0, 15]] = 0.0
+    width = jnp.asarray(np.repeat(sel, HD, axis=-1))[:, None, :]
+
+    att = _PoolAttention(C, H, (P, P), qkv_bias=True)
+    v = att.init({"params": key, "dropout": key}, x[:2], train=False)
+    got = att.apply(v, x, width, train=False)
+
+    # literal old composition: masks applied at q/k/v AND at proj input
+    p = v["params"]
+
+    def dense(name, t):
+        return t @ p[name]["kernel"] + p[name]["bias"]
+
+    def pool(t, name):
+        cls_tok, rest = t[:, :1], t[:, 1:]
+        kern = jnp.tile(p[name]["kernel"], (1, 1, 1, H))
+        r = jax.lax.conv_general_dilated(
+            rest.reshape(B, P, P, C), kern.astype(t.dtype), (1, 1),
+            [(1, 1), (1, 1)], feature_group_count=C,
+            dimension_numbers=("NHWC", "HWIO", "NHWC"))
+        t2 = jnp.concatenate([cls_tok, r.reshape(B, P * P, C)], axis=1)
+        ln = p[name + "_norm"]
+        return t2, (ln["scale"], ln["bias"])
+
+    q, lnq = pool(dense("query", x) * width, "pool_q")
+    k, lnk = pool(dense("key", x) * width, "pool_k")
+    vv, lnv = pool(dense("value", x) * width, "pool_v")
+    o = pooled_attention_reference(q, k, vv, lnq, lnk, lnv, H, HD ** -0.5)
+    o = o * width
+    want = o @ p["proj"]["kernel"] + p["proj"]["bias"]
+
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(want))

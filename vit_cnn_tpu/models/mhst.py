@@ -176,9 +176,22 @@ class _PoolAttention(nn.Module):
             return y
 
         m = None if width_select is None else width_select  # (B, 1, dim)
-        q = masked_out("query", x, m)                       # (b, n, c)
-        k = masked_out("key", x, m)
-        v = masked_out("value", x, m)
+        # Serving (eval) drops the q/k/v head masks — they are REDUNDANT
+        # given the `out * width_select` mask below: every op between
+        # them is per-head-isolated (depthwise pool convs, hd-group LNs,
+        # per-head attention incl. the +q residual), so zeroing a head's
+        # lanes at the output equals zeroing them at q/k/v, bit-for-bit
+        # (pinned by tests/test_mhst_parity.py::
+        # test_pool_attention_eval_qkv_masks_redundant). Measured
+        # +1.57 ms/block on the chip (perf/mhst_block_gap.py — the mask
+        # multiplies break XLA's fusion chains). Training keeps them:
+        # the straight-through Gumbel head-select receives gradient
+        # through every mask application, so dropping any would change
+        # dL/d(head_select logits). Ref: HSPT.py:66-139 (DynaLinear).
+        qkv_m = m if train else None
+        q = masked_out("query", x, qkv_m)                   # (b, n, c)
+        k = masked_out("key", x, qkv_m)
+        v = masked_out("value", x, qkv_m)
 
         def pool(t, name):
             # one depthwise 3x3 conv over all h*hd channels (head-major
