@@ -85,6 +85,27 @@ def test_serve_survives_bad_requests(tmp_path):
     assert lines and all(r["ok"] is False for r in lines + resps)
 
 
+def test_serve_mesh_matches_single_device(tmp_path):
+    """--serve on an 8-virtual-device mesh: the sharded band-block path
+    must serve the same map the single-device path serves."""
+    import jax
+
+    if len(jax.devices()) < 2:
+        pytest.skip("needs multi-device (virtual CPU mesh)")
+    out_one = tmp_path / "one.npy"               # _serve passes --no_mesh
+    out_mesh = tmp_path / "mesh.npy"
+    served, resps = _serve([{"out": str(out_one)}], tmp_path)
+    assert served == 1 and resps[0]["ok"]
+    args = build_parser().parse_args([           # mesh auto (devices > 1)
+        "--dataset", "Synthetic", "--model", "EndNet",
+        "--out_dir", str(tmp_path), "--infer_chunk", "256", "--serve"])
+    in_s = io.StringIO(json.dumps({"out": str(out_mesh)}) + "\n")
+    run_serve(args, in_stream=in_s, out_stream=io.StringIO())
+    # same seed -> same init params on both paths; maps must agree
+    np.testing.assert_allclose(np.load(out_one), np.load(out_mesh),
+                               rtol=0, atol=1e-5)
+
+
 def test_serve_matches_direct_inference(tmp_path):
     # one process, two requests for the same scene: both must equal the
     # direct full_scene_probabilities call (the scene-cache repeat cannot
