@@ -51,6 +51,10 @@ def load_array(spec: str) -> np.ndarray:
     if ".mat:" in spec:
         path, key = spec.rsplit(":", 1)
         return np.asarray(load_mat_key(path, key))
+    if spec.endswith(".mat"):
+        raise ValueError(
+            f"'{spec}': .mat scenes need the variable name — use "
+            "'file.mat:key'")
     arr = open_file(spec)
     return np.asarray(arr)
 
