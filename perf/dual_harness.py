@@ -216,6 +216,23 @@ def write_table(rows):
             "(model_utils.py:921; flagged unusable at main.py:110) — so "
             "no reference training dynamics exist to agree with; both "
             "are covered by transplant forward parity instead. "
+            "Every stochastic row is a 5-seed band PER SIDE (round 5; "
+            "single-seed rows remain only where both sides sit at "
+            "exactly 100.00). The wall columns (ref s / ours s) are "
+            "per-row totals across all seeds on this 1-CPU host, "
+            "measured with a persistent JAX compilation cache "
+            "(~/.cache/vct_jax_cache_cpu, VERDICT r4 #6) that "
+            "amortizes ours-side jit cost across seeds and processes: "
+            "the r5 refresh cut the compile-bound rows to ref-"
+            "comparable wall (Early 43->18 s, Middle 79->29, S2ENet "
+            "66->31). Rows dominated by per-step CPU runtime rather "
+            "than compile did not improve and remain slower than the "
+            "reference here (MFT 3373 s vs 116, MHST 14794 s vs 2386 "
+            "at 5 seeds): torch's eager C++ CPU kernels beat XLA:CPU "
+            "on this 1-vCPU host for transformer-heavy steps — a "
+            "CPU-harness artifact only; on the actual target chip the "
+            "comparison inverts by orders of magnitude "
+            "(perf/ROOFLINE.md serving/train tables). "
             "Generated by "
             "perf/dual_harness.py; spot-checked in "
             "tests/test_dual_harness.py.\n\n"
